@@ -38,7 +38,8 @@ def _mesh_anchors(x_centers, y_centers, z_centers, sizes, rotations,
         combines = np.hstack([sizes, velocities]).reshape([-1, 5])
     else:
         combines = sizes
-    rets = np.meshgrid(x_centers, y_centers, z_centers, rotations, indexing="ij")
+    rets = list(np.meshgrid(x_centers, y_centers, z_centers, rotations,
+                            indexing="ij"))
     tile_shape = [1] * 5
     tile_shape[-2] = sizes.shape[0]
     for i in range(len(rets)):

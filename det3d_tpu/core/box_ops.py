@@ -272,3 +272,59 @@ def center_to_minmax_2d(centers, dims):
     """(N,2),(N,2) -> (N,4) [x1,y1,x2,y2]. Parity: box_np_ops.py:489."""
     xp = _xp(centers, dims)
     return xp.concatenate([centers - dims / 2, centers + dims / 2], axis=-1)
+
+
+# ---------------------------------------------------------------------------
+# camera <-> lidar frame conversions (KITTI). Parity: box_np_ops.py:900-952
+# ---------------------------------------------------------------------------
+
+def project_to_image(points_3d, proj_mat):
+    """Camera-frame 3D points -> image pixels via P (3x4 or 4x4)."""
+    xp = _xp(points_3d)
+    pad = xp.zeros(points_3d.shape[:-1] + (1,), dtype=points_3d.dtype)
+    points_4 = xp.concatenate([points_3d, pad], axis=-1)
+    point_2d = points_4 @ proj_mat.T
+    return point_2d[..., :2] / point_2d[..., 2:3]
+
+
+def camera_to_lidar(points, r_rect, velo2cam):
+    xp = _xp(points)
+    if points.shape[-1] == 3:
+        ones = xp.ones(points.shape[:-1] + (1,), dtype=points.dtype)
+        points = xp.concatenate([points, ones], axis=-1)
+    lidar_points = points @ np.linalg.inv(np.asarray(r_rect @ velo2cam).T) \
+        if xp is np else points @ jnp.linalg.inv((r_rect @ velo2cam).T)
+    return lidar_points[..., :3]
+
+
+def lidar_to_camera(points, r_rect, velo2cam):
+    xp = _xp(points)
+    if points.shape[-1] == 3:
+        ones = xp.ones(points.shape[:-1] + (1,), dtype=points.dtype)
+        points = xp.concatenate([points, ones], axis=-1)
+    camera_points = points @ (r_rect @ velo2cam).T
+    return camera_points[..., :3]
+
+
+def box_camera_to_lidar(data, r_rect, velo2cam):
+    """Camera boxes [x,y,z,l,h,w,r] -> lidar boxes [x,y,z,w,l,h,r]."""
+    xp = _xp(data)
+    xyz_lidar = camera_to_lidar(data[:, 0:3], r_rect, velo2cam)
+    l, h, w, r = data[:, 3:4], data[:, 4:5], data[:, 5:6], data[:, 6:7]
+    return xp.concatenate([xyz_lidar, w, l, h, r], axis=1)
+
+
+def box_lidar_to_camera(data, r_rect, velo2cam):
+    """Lidar boxes [x,y,z,w,l,h,r] -> camera boxes [x,y,z,l,h,w,r]."""
+    xp = _xp(data)
+    xyz = lidar_to_camera(data[:, 0:3], r_rect, velo2cam)
+    w, l, h, r = data[:, 3:4], data[:, 4:5], data[:, 5:6], data[:, 6:7]
+    return xp.concatenate([xyz, l, h, w, r], axis=1)
+
+
+def change_box3d_center_(box3d, src, dst):
+    """In-place (numpy) origin shift of boxes. Parity: box_np_ops.py:1346."""
+    dst = np.asarray(dst, dtype=box3d.dtype)
+    src = np.asarray(src, dtype=box3d.dtype)
+    box3d[..., :3] += box3d[..., 3:6] * (dst - src)
+    return box3d

@@ -1,0 +1,127 @@
+"""Target assignment vs a sequential numpy oracle implementing the
+create_target_np rules (target_ops.py:28-222, positive_fraction=None)."""
+
+import numpy as np
+import jax.numpy as jnp
+
+from det3d_tpu.core import box_ops
+from det3d_tpu.core.anchors import AnchorGeneratorRange, GroundBox3dCoder
+from det3d_tpu.core.target import (TargetAssigner, create_target,
+                                   nearest_iou_similarity)
+
+
+def _oracle_assign(anchors, gt, gt_cls, mt, ut):
+    """Sequential oracle of the detectron-style labeling rules."""
+    A, G = anchors.shape[0], gt.shape[0]
+    labels = np.full((A,), -1, np.int32)
+    if G == 0:
+        return np.zeros((A,), np.int32)
+    a_rbv = np.asarray(box_ops.rbbox2d_to_near_bbox(anchors[:, [0, 1, 3, 4, 6]]))
+    g_rbv = np.asarray(box_ops.rbbox2d_to_near_bbox(gt[:, [0, 1, 3, 4, 6]]))
+    sim = np.asarray(box_ops.iou_matrix(a_rbv, g_rbv))
+    a2g = sim.argmax(1)
+    a2g_max = sim[np.arange(A), a2g]
+    g2a_max = sim.max(0)
+    g2a_max[g2a_max == 0] = -1
+    force = np.where(sim == g2a_max[None, :])[0]
+    pos = a2g_max >= mt
+    bg = a2g_max < ut
+    labels[pos] = gt_cls[a2g[pos]]
+    labels[bg] = 0
+    labels[force] = gt_cls[a2g[force]]
+    return labels
+
+
+def _make_anchors():
+    gen = AnchorGeneratorRange(
+        anchor_ranges=[0, -10, -1.0, 20, 10, -1.0],
+        sizes=[1.6, 3.9, 1.56], rotations=[0, np.pi / 2],
+        match_threshold=0.6, unmatch_threshold=0.45, class_name="Car")
+    anchors = gen.generate([1, 10, 20])
+    return gen, anchors.reshape(-1, 7)
+
+
+def test_create_target_matches_oracle(rng):
+    _, anchors = _make_anchors()
+    G = 8
+    gt = np.zeros((G, 7), np.float32)
+    gt[:, 0] = rng.uniform(2, 18, G)
+    gt[:, 1] = rng.uniform(-8, 8, G)
+    gt[:, 2] = -1.0
+    gt[:, 3:6] = [1.6, 3.9, 1.56]
+    gt[:, 6] = rng.choice([0.0, np.pi / 2], G)
+    gt_valid = np.ones((G,), bool)
+    gt_valid[5:] = False          # padded rows
+    gt_cls = np.ones((G,), np.int32)
+
+    coder = GroundBox3dCoder()
+    labels, targets, weights = create_target(
+        jnp.asarray(anchors), jnp.asarray(gt), jnp.asarray(gt_valid),
+        jnp.asarray(gt_cls), nearest_iou_similarity, coder.encode,
+        0.6, 0.45, 7)
+    oracle = _oracle_assign(anchors, gt[:5], gt_cls[:5], 0.6, 0.45)
+    np.testing.assert_array_equal(np.asarray(labels), oracle)
+
+    # encoded targets only where fg; check one fg anchor decodes to its gt
+    fg = np.where(np.asarray(labels) > 0)[0]
+    assert len(fg) > 0
+    np.testing.assert_allclose(np.asarray(weights)[fg], 1.0)
+    a_rbv = np.asarray(box_ops.rbbox2d_to_near_bbox(anchors[:, [0, 1, 3, 4, 6]]))
+    g_rbv = np.asarray(box_ops.rbbox2d_to_near_bbox(gt[:5][:, [0, 1, 3, 4, 6]]))
+    sim = np.asarray(box_ops.iou_matrix(a_rbv, g_rbv))
+    for i in fg[:3]:
+        j = sim[i].argmax()
+        dec = np.asarray(coder.decode(np.asarray(targets)[i:i + 1],
+                                      anchors[i:i + 1]))
+        np.testing.assert_allclose(dec[0], gt[j], atol=1e-4)
+
+
+def test_no_gt_all_background():
+    _, anchors = _make_anchors()
+    gt = np.zeros((4, 7), np.float32)
+    gt[:, 3:6] = 1.0
+    coder = GroundBox3dCoder()
+    labels, _, weights = create_target(
+        jnp.asarray(anchors), jnp.asarray(gt),
+        jnp.zeros((4,), bool), jnp.ones((4,), np.int32),
+        nearest_iou_similarity, coder.encode, 0.6, 0.45, 7)
+    assert (np.asarray(labels) == 0).all()
+    assert (np.asarray(weights) == 0).all()
+
+
+def test_task_assigner_layout():
+    """Two classes concat per-location like assign_v2 (target_assigner.py:113)."""
+    genA = AnchorGeneratorRange(
+        anchor_ranges=[0, -10, -1.0, 20, 10, -1.0], sizes=[1.6, 3.9, 1.56],
+        rotations=[0, np.pi / 2], match_threshold=0.6, unmatch_threshold=0.45,
+        class_name="Car")
+    genB = AnchorGeneratorRange(
+        anchor_ranges=[0, -10, -0.6, 20, 10, -0.6], sizes=[0.6, 0.8, 1.73],
+        rotations=[0, np.pi / 2], match_threshold=0.35, unmatch_threshold=0.2,
+        class_name="Pedestrian")
+    assigner = TargetAssigner(box_coder=GroundBox3dCoder(),
+                              anchor_generators=[genA, genB])
+    anchors = assigner.generate_anchors([1, 10, 20])
+    assert anchors.shape == (10 * 20 * 4, 7)
+    # location-interleaved: first 2 anchors at loc0 are Car (big), next 2 Ped
+    np.testing.assert_allclose(anchors[0, 3:6], [1.6, 3.9, 1.56])
+    np.testing.assert_allclose(anchors[2, 3:6], [0.6, 0.8, 1.73])
+
+    gt = np.zeros((4, 7), np.float32)
+    gt[0] = [5, 0, -1, 1.6, 3.9, 1.56, 0]       # a car
+    gt[1] = [15, 5, -0.6, 0.6, 0.8, 1.73, 0]    # a pedestrian
+    gt[:, 3:6] = np.maximum(gt[:, 3:6], 0.01)
+    gt_classes = np.asarray([1, 2, 0, 0], np.int32)
+    gt_valid = np.asarray([True, True, False, False])
+
+    labels, targets, weights = assigner.assign(
+        jnp.asarray(gt), jnp.asarray(gt_classes), jnp.asarray(gt_valid),
+        class_ids=[1, 2])
+    labels = np.asarray(labels)
+    assert labels.shape == (800,)
+    assert (labels == 1).sum() > 0           # car positives
+    assert (labels == 2).sum() > 0           # pedestrian positives
+    # car labels only on car anchor slots (loc 0,1 of each group of 4)
+    slot = np.arange(800) % 4
+    assert set(slot[labels == 1]) <= {0, 1}
+    assert set(slot[labels == 2]) <= {2, 3}

@@ -1,0 +1,106 @@
+"""On-device voxelizer vs a sequential numpy oracle re-implementing the
+reference first-come semantics (point_cloud_ops.py:7-110)."""
+
+import numpy as np
+
+from det3d_tpu.core.voxelize import VoxelGenerator
+
+
+def _oracle_points_to_voxel(points, voxel_size, pc_range, max_points,
+                            max_voxels):
+    """Sequential first-come voxelization oracle (reverse zyx coords)."""
+    voxel_size = np.asarray(voxel_size)
+    pc_range = np.asarray(pc_range)
+    grid = np.round((pc_range[3:] - pc_range[:3]) / voxel_size).astype(np.int32)
+    coor_to_idx = {}
+    voxels = np.zeros((max_voxels, max_points, points.shape[1]), points.dtype)
+    coords = np.full((max_voxels, 3), -1, np.int32)
+    counts = np.zeros((max_voxels,), np.int32)
+    nvox = 0
+    for p in points:
+        c = np.floor((p[:3] - pc_range[:3]) / voxel_size).astype(np.int32)
+        if np.any(c < 0) or np.any(c >= grid):
+            continue
+        key = (int(c[2]), int(c[1]), int(c[0]))          # zyx
+        if key not in coor_to_idx:
+            if nvox >= max_voxels:
+                continue                                  # (we keep scanning)
+            coor_to_idx[key] = nvox
+            coords[nvox] = key
+            nvox += 1
+        vi = coor_to_idx[key]
+        if vi >= max_voxels:
+            continue
+        if counts[vi] < max_points:
+            voxels[vi, counts[vi]] = p
+            counts[vi] += 1
+    return voxels, coords, counts, nvox
+
+
+def test_voxelize_matches_oracle(rng):
+    pc_range = [0, -10, -3, 20, 10, 1]
+    voxel_size = [0.5, 0.5, 1.0]
+    n = 500
+    pts = np.zeros((n, 4), np.float32)
+    pts[:, 0] = rng.uniform(-2, 22, n)       # some out of range
+    pts[:, 1] = rng.uniform(-12, 12, n)
+    pts[:, 2] = rng.uniform(-4, 2, n)
+    pts[:, 3] = rng.uniform(0, 1, n)
+
+    gen = VoxelGenerator(voxel_size=voxel_size, point_cloud_range=pc_range,
+                         max_num_points=8, max_voxels=2000)
+    out = gen.generate(pts, np.int32(n))
+    o_vox, o_coords, o_counts, o_n = _oracle_points_to_voxel(
+        pts, voxel_size, pc_range, 8, 2000)
+
+    assert int(out["num_voxels"]) == o_n
+    nv = o_n
+    np.testing.assert_array_equal(np.asarray(out["coords"])[:nv], o_coords[:nv])
+    np.testing.assert_array_equal(
+        np.asarray(out["num_points_per_voxel"])[:nv], o_counts[:nv])
+    np.testing.assert_allclose(np.asarray(out["voxels"])[:nv], o_vox[:nv],
+                               atol=1e-6)
+
+
+def test_voxelize_respects_padding(rng):
+    pc_range = [0, -10, -3, 20, 10, 1]
+    gen = VoxelGenerator(voxel_size=[0.5, 0.5, 4.0], point_cloud_range=pc_range,
+                         max_num_points=4, max_voxels=100)
+    pts = np.zeros((50, 4), np.float32)
+    pts[:, 0] = 1.0
+    pts[:, 1] = 0.0
+    # only first 10 rows valid -> exactly one voxel with 4 points kept
+    out = gen.generate(pts, np.int32(10))
+    assert int(out["num_voxels"]) == 1
+    assert int(out["num_points_per_voxel"][0]) == 4
+
+
+def test_voxelize_max_points_cap(rng):
+    pc_range = [0, -10, -3, 20, 10, 1]
+    gen = VoxelGenerator(voxel_size=[1.0, 1.0, 4.0], point_cloud_range=pc_range,
+                         max_num_points=3, max_voxels=10)
+    pts = np.tile(np.asarray([[0.5, 0.5, 0.0, 1.0]], np.float32), (7, 1))
+    pts[:, 3] = np.arange(7)
+    out = gen.generate(pts, np.int32(7))
+    # first 3 points by original order are kept
+    np.testing.assert_allclose(np.asarray(out["voxels"])[0, :, 3], [0, 1, 2])
+
+
+def test_voxelize_batch(rng):
+    pc_range = [0, -10, -3, 20, 10, 1]
+    gen = VoxelGenerator(voxel_size=[0.5, 0.5, 1.0], point_cloud_range=pc_range,
+                         max_num_points=8, max_voxels=200)
+    pts = rng.uniform(-1, 15, (2, 300, 4)).astype(np.float32)
+    n = np.asarray([300, 120], np.int32)
+    out = gen.generate_batch(pts, n)
+    assert out["voxels"].shape == (2, 200, 8, 4)
+    assert out["coords"].shape == (2, 200, 3)
+    # second sample saw fewer points -> fewer voxels
+    assert int(out["num_voxels"][1]) <= int(out["num_voxels"][0])
+
+
+def test_grid_size():
+    gen = VoxelGenerator(voxel_size=[0.16, 0.16, 4.0],
+                         point_cloud_range=[0, -39.68, -3, 69.12, 39.68, 1],
+                         max_num_points=100, max_voxels=12000)
+    assert gen.grid_size == (432, 496, 1)
