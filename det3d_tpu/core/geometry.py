@@ -85,35 +85,79 @@ def _segment_intersections(ca, cb):
     return pts.reshape(shape), valid.reshape(valid.shape[:-2] + (16,))
 
 
+def _ccw(corners):
+    """Force counterclockwise winding. (..., 4, 2) -> (..., 4, 2)."""
+    area2 = (
+        _cross2(corners[..., 0, :], corners[..., 1, :], corners[..., 2, :])
+        + _cross2(corners[..., 0, :], corners[..., 2, :], corners[..., 3, :]))
+    return jnp.where((area2 >= 0)[..., None, None], corners,
+                     corners[..., ::-1, :])
+
+
+def _clip_contrib(px, py, qx, qy, open_side):
+    """Shoelace contribution of quad-P edges Liang-Barsky-clipped to quad Q.
+
+    px/py/qx/qy: length-4 lists of (...)-shaped coordinate arrays, CCW.
+    ``open_side``: clip against the open interior of Q (excludes segments
+    lying exactly on Q's boundary — used for the second quad so coincident
+    boundary pieces are counted once, not twice).
+
+    All geometry dims are unrolled in Python so every array op runs on
+    full (...)-shaped tensors — the batch/pair dims stay in the TPU lane
+    dimension instead of being buried under (4, 2) minor axes.
+    """
+    total = 0.0
+    for i in range(4):
+        x1, y1 = px[i], py[i]
+        x2, y2 = px[(i + 1) % 4], py[(i + 1) % 4]
+        dx, dy = x2 - x1, y2 - y1
+        t_lo = jnp.zeros_like(x1)
+        t_hi = jnp.ones_like(x1)
+        ok = jnp.ones(x1.shape, bool)
+        for j in range(4):
+            ex = qx[(j + 1) % 4] - qx[j]
+            ey = qy[(j + 1) % 4] - qy[j]
+            # inside(t): cross(e, p(t) - q_j) = a + t*b >= 0
+            a = ex * (y1 - qy[j]) - ey * (x1 - qx[j])
+            b = ex * dy - ey * dx
+            b_safe = jnp.where(jnp.abs(b) > _EPS, b, 1.0)
+            tj = -a / b_safe
+            moving = jnp.abs(b) > _EPS
+            t_lo = jnp.where(moving & (b > 0), jnp.maximum(t_lo, tj), t_lo)
+            t_hi = jnp.where(moving & (b < 0), jnp.minimum(t_hi, tj), t_hi)
+            # parallel edge: whole segment in/out of this half-plane
+            border_ok = (a > _EPS) if open_side else (a >= -_EPS)
+            ok = ok & (moving | border_ok)
+        valid = ok & (t_lo < t_hi)
+        sx1 = x1 + t_lo * dx
+        sy1 = y1 + t_lo * dy
+        sx2 = x1 + t_hi * dx
+        sy2 = y1 + t_hi * dy
+        total = total + jnp.where(valid, sx1 * sy2 - sx2 * sy1, 0.0)
+    return total
+
+
 def rotated_intersection_area(corners_a, corners_b):
-    """Intersection area of two convex quads. (..., 4, 2) x2 -> (...,)."""
-    in_b = _points_in_quad(corners_a, corners_b)    # (..., 4)
-    in_a = _points_in_quad(corners_b, corners_a)    # (..., 4)
-    cross_pts, cross_valid = _segment_intersections(corners_a, corners_b)
+    """Intersection area of two convex quads. (..., 4, 2) x2 -> (...,).
 
-    pts = jnp.concatenate([corners_a, corners_b, cross_pts], axis=-2)   # (..., 24, 2)
-    valid = jnp.concatenate([in_b, in_a, cross_valid], axis=-1)         # (..., 24)
-
-    n_valid = valid.sum(axis=-1)
-    vf = valid.astype(pts.dtype)
-    center = (pts * vf[..., None]).sum(axis=-2) / jnp.maximum(
-        n_valid.astype(pts.dtype), 1.0)[..., None]
-
-    rel = pts - center[..., None, :]
-    ang = jnp.arctan2(rel[..., 1], rel[..., 0])
-    key = jnp.where(valid, ang, 1e9)                 # invalid -> end
-    order = jnp.argsort(key, axis=-1)
-    sorted_pts = jnp.take_along_axis(pts, order[..., None], axis=-2)
-    sorted_valid = jnp.take_along_axis(valid, order, axis=-1)
-
-    # fill invalid tail slots with the first point so they contribute zero
-    first = sorted_pts[..., 0:1, :]
-    poly = jnp.where(sorted_valid[..., None], sorted_pts, first)
-
-    nxt = jnp.roll(poly, -1, axis=-2)
-    contrib = poly[..., 0] * nxt[..., 1] - nxt[..., 0] * poly[..., 1]
-    area = 0.5 * jnp.abs(contrib.sum(axis=-1))
-    return jnp.where(n_valid >= 3, area, 0.0)
+    Sort-free formulation: the boundary of A∩B is (∂A∩B) ∪ (∂B∩A), and the
+    shoelace line integral ∮(x dy − y dx) is additive over directed boundary
+    segments in any order, so each edge is clipped to the other quad
+    (Liang-Barsky interval clip) and its contribution accumulated directly.
+    B's edges clip against the *open* interior of A so exactly-coincident
+    boundary runs are counted once. Replaces the candidate-point +
+    angular-argsort construction, which forced (…,24,2)-shaped sorts and
+    gathers in the two minor axes — catastrophic TPU tiling.
+    """
+    A = _ccw(corners_a)
+    B = _ccw(corners_b)
+    ax = [A[..., i, 0] for i in range(4)]
+    ay = [A[..., i, 1] for i in range(4)]
+    bx = [B[..., i, 0] for i in range(4)]
+    by = [B[..., i, 1] for i in range(4)]
+    total = (_clip_contrib(ax, ay, bx, by, open_side=False)
+             + _clip_contrib(bx, by, ax, ay, open_side=True))
+    return jnp.maximum(0.5 * total, 0.0)
 
 
 def rotated_iou_matrix(boxes, qboxes, criterion=-1):
@@ -164,9 +208,10 @@ def points_in_rbbox(points, boxes, origin=(0.5, 0.5, 0.5)):
     true_centers = centers + shift
     rel = points[:, None, :3] - true_centers[None, :, :]    # (P, N, 3)
     c, s = xp.cos(angles), xp.sin(angles)
-    # rotate into box frame: inverse of rotation_3d_in_axis(axis=2)
-    x = rel[..., 0] * c[None, :] + rel[..., 1] * s[None, :]
-    y = -rel[..., 0] * s[None, :] + rel[..., 1] * c[None, :]
+    # rotate into box frame: corners are R(-theta) @ local + center
+    # (box_np_ops.rotation_2d convention), so local = R(theta) @ rel
+    x = rel[..., 0] * c[None, :] - rel[..., 1] * s[None, :]
+    y = rel[..., 0] * s[None, :] + rel[..., 1] * c[None, :]
     z = rel[..., 2]
     half = dims / 2
     return (

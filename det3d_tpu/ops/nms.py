@@ -45,23 +45,34 @@ def _pairwise_standup_iou(boxes_standup):
 
 
 def _greedy_suppress(iou, valid, iou_threshold):
-    """Greedy NMS scan over score-descending order.
+    """Greedy NMS over score-descending order, as a parallel fixpoint.
+
+    The sequential greedy scan solves ``keep[j] = valid[j] and not
+    exists i<j: keep[i] and iou[i,j] > thr``. Because the suppression
+    relation is a strictly upper-triangular DAG, Jacobi iteration of that
+    equation converges to the (unique) greedy solution in at most
+    longest-suppression-chain steps — each step one (K,K) masked reduction,
+    which the VPU eats, instead of K sequential loop iterations (the naive
+    ``fori_loop`` costs ~0.6ms/iteration of loop overhead on TPU).
 
     iou: (K, K) of already-sorted boxes. valid: (K,) bool. Returns keep (K,).
     """
     k = iou.shape[0]
-    suppress_mat = iou > iou_threshold
+    idx = jnp.arange(k)
+    sup = (iou > iou_threshold) & (idx[:, None] < idx[None, :]) \
+        & valid[:, None] & valid[None, :]
 
-    def body(i, state):
-        keep, suppressed = state
-        keep_i = valid[i] & ~suppressed[i]
-        later = jnp.arange(k) > i
-        suppressed = suppressed | (keep_i & later & suppress_mat[i])
-        keep = keep.at[i].set(keep_i)
-        return keep, suppressed
+    def cond(state):
+        keep, prev, it = state
+        return jnp.any(keep != prev) & (it < k)
 
-    keep, _ = jax.lax.fori_loop(
-        0, k, body, (jnp.zeros((k,), bool), jnp.zeros((k,), bool)))
+    def body(state):
+        keep, _, it = state
+        suppressed = jnp.any(sup & keep[:, None], axis=0)
+        return valid & ~suppressed, keep, it + 1
+
+    keep, _, _ = jax.lax.while_loop(
+        cond, body, (valid, jnp.zeros_like(valid), jnp.int32(0)))
     return keep
 
 

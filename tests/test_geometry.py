@@ -22,9 +22,11 @@ def _raster_iou(b1, b2, res=400):
     def inside(box):
         c, s = np.cos(box[4]), np.sin(box[4])
         rel = pts - box[:2]
-        # into box frame (inverse of the clockwise rotation convention)
-        x = rel[:, 0] * c + rel[:, 1] * s
-        y = -rel[:, 0] * s + rel[:, 1] * c
+        # into box frame. Corners are local @ [[c,-s],[s,c]] + center
+        # (reference box_np_ops.rotation_2d convention), so the inverse map
+        # is local = R(theta) @ rel = (c*dx - s*dy, s*dx + c*dy).
+        x = rel[:, 0] * c - rel[:, 1] * s
+        y = rel[:, 0] * s + rel[:, 1] * c
         return (np.abs(x) <= box[2] / 2) & (np.abs(y) <= box[3] / 2)
 
     m1, m2 = inside(np.asarray(b1)), inside(np.asarray(b2))
