@@ -46,3 +46,209 @@ class PointPillarsScatter(nn.Module):
 
         canvas = jax.vmap(scatter_one)(voxel_features, flat_idx)
         return canvas.reshape(-1, ny, nx, c)
+
+
+# ---------------------------------------------------------------------------
+# Sparse middle extractors (SECOND / CBGS)
+# ---------------------------------------------------------------------------
+
+from det3d_tpu.models.norm import build_norm  # noqa: E402
+from det3d_tpu.ops import sparse as sp  # noqa: E402
+
+
+class SparseConvBN(nn.Module):
+    """One sparse conv layer: gather-GEMM conv + masked (Sync)BN + ReLU.
+
+    The rulebook (idx/mask) is built by the owning backbone once per
+    resolution and shared across layers — the TPU analogue of spconv's
+    ``indice_key`` (reference scn.py:107-156).
+    """
+    out_channels: int
+    norm_cfg: Optional[dict] = None
+    axis_name: Optional[str] = None
+    use_bias: bool = False
+    relu: bool = True
+
+    @nn.compact
+    def __call__(self, x, idx, mask, valid, train: bool = False):
+        kvol, cin = idx.shape[-1], x.shape[-1]
+        w = self.param(
+            "kernel",
+            nn.initializers.variance_scaling(1.0, "fan_in", "uniform"),
+            (kvol, cin, self.out_channels), jnp.float32)
+        y = sp.apply_conv(x, idx, mask, w)
+        if self.use_bias:
+            y = y + self.param("bias", nn.initializers.zeros,
+                               (self.out_channels,), jnp.float32)
+        y = build_norm(self.norm_cfg, self.axis_name)(
+            y, mask=valid, use_running_average=not train)
+        if self.relu:
+            y = nn.relu(y)
+        return y
+
+
+class SparseBasicBlock(nn.Module):
+    """Residual block of two subm convs on a shared rulebook.
+
+    Parity: reference scn.py:46-89 (conv bias=True when norm_cfg set, BN,
+    ReLU, second conv+BN, additive skip, ReLU)."""
+    channels: int
+    norm_cfg: Optional[dict] = None
+    axis_name: Optional[str] = None
+
+    @nn.compact
+    def __call__(self, x, idx, mask, valid, train: bool = False):
+        y = SparseConvBN(self.channels, self.norm_cfg, self.axis_name,
+                         use_bias=True)(x, idx, mask, valid, train)
+        y = SparseConvBN(self.channels, self.norm_cfg, self.axis_name,
+                         use_bias=True, relu=False)(y, idx, mask, valid,
+                                                    train)
+        return nn.relu(x + y)
+
+
+def _stage_rulebooks(coords, shape, down_kernel, down_stride, down_pad,
+                     max_out=None):
+    """Downsample coords + the two rulebooks for the next stage, vmapped.
+
+    A sparse stride-2 conv can EXPAND the active set (isolated voxels cover
+    up to 8 strided outputs), so ``max_out`` is configurable; the default
+    (= input slot count) is right for dense lidar sweeps where downsampling
+    shrinks the active count, and overflow drops the highest linear ids.
+
+    Returns (down_idx, down_mask, new_coords, new_subm_idx, new_subm_mask,
+    new_shape)."""
+    max_out = max_out or coords.shape[1]
+
+    def one(co):
+        out_co, oshape = sp.conv_out_coords(
+            co, shape, down_kernel, down_stride, down_pad, max_out)
+        didx, dmask = sp.conv_rulebook(co, shape, out_co, down_kernel,
+                                       down_stride, down_pad)
+        sidx, smask = sp.subm_rulebook(out_co, oshape, 3)
+        return out_co, didx, dmask, sidx, smask
+
+    oshape = sp.out_spatial_shape(shape, down_kernel, down_stride, down_pad)
+    out_co, didx, dmask, sidx, smask = jax.vmap(one)(coords)
+    return out_co, didx, dmask, sidx, smask, oshape
+
+
+def _bev_reshape(features, coords, shape):
+    """Scatter final sparse stage to dense and fold depth into channels.
+
+    Parity: SparseConvTensor.dense() + view(N, C*D, H, W) (scn.py:193-197);
+    our layout is (B, H, W, C*D) with C-major to mirror the reference's
+    channel ordering."""
+    dense = sp.to_dense(features, coords, shape)         # (B, D, H, W, C)
+    b, d, h, w, c = dense.shape
+    return dense.transpose(0, 2, 3, 4, 1).reshape(b, h, w, c * d)
+
+
+@BACKBONES.register_module
+class SpMiddleFHD(nn.Module):
+    """SECOND sparse middle. Parity: reference scn.py:92-197.
+
+    Input: voxel_features (B, V, C), coords (B, V, 3) int32 zyx (-1 pad),
+    input_shape (nx, ny, nz). sparse z-dim gets +1 like the reference
+    (scn.py:186 ``sparse_shape = input_shape[::-1] + [1, 0, 0]``).
+    Output: (B, ny/8, nx/8, 64 * D_final) BEV feature map.
+    """
+    num_input_features: int = 128
+    norm_cfg: Optional[dict] = None
+    axis_name: Optional[str] = None
+    name_str: str = "SpMiddleFHD"
+
+    @nn.compact
+    def __call__(self, voxel_features, coords, input_shape,
+                 train: bool = False):
+        nx, ny, nz = (int(s) for s in input_shape)
+        shape0 = (nz + 1, ny, nx)
+        cfg, ax = self.norm_cfg, self.axis_name
+
+        sidx0, smask0 = jax.vmap(
+            lambda co: sp.subm_rulebook(co, shape0, 3))(coords)
+        valid0 = coords[:, :, 0] >= 0
+        x = voxel_features
+        x = SparseConvBN(16, cfg, ax)(x, sidx0, smask0, valid0, train)
+        x = SparseConvBN(16, cfg, ax)(x, sidx0, smask0, valid0, train)
+
+        co1, didx, dmask, sidx, smask, shape1 = _stage_rulebooks(
+            coords, shape0, 3, 2, 1)
+        valid1 = co1[:, :, 0] >= 0
+        x = SparseConvBN(32, cfg, ax)(x, didx, dmask, valid1, train)
+        x = SparseConvBN(32, cfg, ax)(x, sidx, smask, valid1, train)
+        x = SparseConvBN(32, cfg, ax)(x, sidx, smask, valid1, train)
+
+        co2, didx, dmask, sidx, smask, shape2 = _stage_rulebooks(
+            co1, shape1, 3, 2, 1)
+        valid2 = co2[:, :, 0] >= 0
+        x = SparseConvBN(64, cfg, ax)(x, didx, dmask, valid2, train)
+        x = SparseConvBN(64, cfg, ax)(x, sidx, smask, valid2, train)
+        x = SparseConvBN(64, cfg, ax)(x, sidx, smask, valid2, train)
+        x = SparseConvBN(64, cfg, ax)(x, sidx, smask, valid2, train)
+
+        co3, didx, dmask, sidx, smask, shape3 = _stage_rulebooks(
+            co2, shape2, 3, 2, (0, 1, 1))
+        valid3 = co3[:, :, 0] >= 0
+        x = SparseConvBN(64, cfg, ax)(x, didx, dmask, valid3, train)
+        x = SparseConvBN(64, cfg, ax)(x, sidx, smask, valid3, train)
+        x = SparseConvBN(64, cfg, ax)(x, sidx, smask, valid3, train)
+        x = SparseConvBN(64, cfg, ax)(x, sidx, smask, valid3, train)
+
+        co4, didx, dmask, _, _, shape4 = _stage_rulebooks(
+            co3, shape3, (3, 1, 1), (2, 1, 1), 0)
+        valid4 = co4[:, :, 0] >= 0
+        x = SparseConvBN(64, cfg, ax)(x, didx, dmask, valid4, train)
+
+        return _bev_reshape(x, co4, shape4)
+
+
+@BACKBONES.register_module
+class SpMiddleResNetFHD(nn.Module):
+    """CBGS residual sparse middle. Parity: reference scn.py:308-370."""
+    num_input_features: int = 128
+    norm_cfg: Optional[dict] = None
+    axis_name: Optional[str] = None
+    name_str: str = "SpMiddleResNetFHD"
+
+    @nn.compact
+    def __call__(self, voxel_features, coords, input_shape,
+                 train: bool = False):
+        nx, ny, nz = (int(s) for s in input_shape)
+        shape0 = (nz + 1, ny, nx)
+        cfg, ax = self.norm_cfg, self.axis_name
+
+        sidx0, smask0 = jax.vmap(
+            lambda co: sp.subm_rulebook(co, shape0, 3))(coords)
+        valid0 = coords[:, :, 0] >= 0
+        x = voxel_features
+        x = SparseConvBN(16, cfg, ax)(x, sidx0, smask0, valid0, train)
+        x = SparseBasicBlock(16, cfg, ax)(x, sidx0, smask0, valid0, train)
+        x = SparseBasicBlock(16, cfg, ax)(x, sidx0, smask0, valid0, train)
+
+        co1, didx, dmask, sidx, smask, shape1 = _stage_rulebooks(
+            coords, shape0, 3, 2, 1)
+        valid1 = co1[:, :, 0] >= 0
+        x = SparseConvBN(32, cfg, ax)(x, didx, dmask, valid1, train)
+        x = SparseBasicBlock(32, cfg, ax)(x, sidx, smask, valid1, train)
+        x = SparseBasicBlock(32, cfg, ax)(x, sidx, smask, valid1, train)
+
+        co2, didx, dmask, sidx, smask, shape2 = _stage_rulebooks(
+            co1, shape1, 3, 2, 1)
+        valid2 = co2[:, :, 0] >= 0
+        x = SparseConvBN(64, cfg, ax)(x, didx, dmask, valid2, train)
+        x = SparseBasicBlock(64, cfg, ax)(x, sidx, smask, valid2, train)
+        x = SparseBasicBlock(64, cfg, ax)(x, sidx, smask, valid2, train)
+
+        co3, didx, dmask, sidx, smask, shape3 = _stage_rulebooks(
+            co2, shape2, 3, 2, (0, 1, 1))
+        valid3 = co3[:, :, 0] >= 0
+        x = SparseConvBN(128, cfg, ax)(x, didx, dmask, valid3, train)
+        x = SparseBasicBlock(128, cfg, ax)(x, sidx, smask, valid3, train)
+        x = SparseBasicBlock(128, cfg, ax)(x, sidx, smask, valid3, train)
+
+        co4, didx, dmask, _, _, shape4 = _stage_rulebooks(
+            co3, shape3, (3, 1, 1), (2, 1, 1), 0)
+        valid4 = co4[:, :, 0] >= 0
+        x = SparseConvBN(128, cfg, ax)(x, didx, dmask, valid4, train)
+
+        return _bev_reshape(x, co4, shape4)

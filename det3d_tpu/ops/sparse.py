@@ -1,0 +1,218 @@
+"""TPU-native sparse 3D convolution: on-device rulebook + gather-GEMM.
+
+Replaces the reference's external ``spconv`` CUDA library (used by
+det3d/models/backbones/scn.py:4-9 via SubMConv3d / SparseConv3d /
+SparseConvTensor). Design:
+
+  * Active voxels live in fixed-size padded arrays: ``features (V, C)``,
+    ``coords (V, 3)`` int32 zyx with ``-1`` rows for padding.
+  * A "hash" is the sorted array of linear voxel ids; neighbor lookup is
+    ``jnp.searchsorted`` (vectorized O(log V)) — no scalar loops, no atomics.
+  * A rulebook maps (output voxel, kernel tap) -> input voxel slot + mask.
+    Rulebooks are built once per resolution and shared by every layer at
+    that resolution — the TPU analogue of spconv's ``indice_key`` reuse
+    (reference scn.py:107-156).
+  * Convolution = for each kernel tap k: gather features, mask, GEMM with
+    W[k], accumulate. K skinny GEMMs ride the MXU; XLA fuses mask+gather.
+  * Downsampling (SparseConv3d stride s) builds the exact spconv output
+    position set: every strided-grid position whose kernel footprint covers
+    >= 1 active input, computed by per-dim candidate enumeration (at most
+    ceil(k/s) candidates per dim) + sort-unique-compact.
+
+All shapes static; everything composes under jit/vmap/grad.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import Sequence, Tuple
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+
+_SENTINEL = np.iinfo(np.int32).max
+
+
+def _as3(v) -> Tuple[int, int, int]:
+    if isinstance(v, (int, np.integer)):
+        return (int(v),) * 3
+    t = tuple(int(x) for x in v)
+    assert len(t) == 3
+    return t
+
+
+def out_spatial_shape(shape, kernel, stride, padding) -> Tuple[int, int, int]:
+    """Standard conv output dims: floor((D + 2p - k)/s) + 1, per zyx dim."""
+    k, s, p = _as3(kernel), _as3(stride), _as3(padding)
+    return tuple((shape[d] + 2 * p[d] - k[d]) // s[d] + 1 for d in range(3))
+
+
+def linearize(coords, shape):
+    """(V, 3) int32 zyx -> (V,) linear ids; padding (-1) rows -> sentinel."""
+    d, h, w = shape
+    z, y, x = coords[:, 0], coords[:, 1], coords[:, 2]
+    ok = (z >= 0) & (z < d) & (y >= 0) & (y < h) & (x >= 0) & (x < w)
+    lin = (z * h + y) * w + x
+    return jnp.where(ok, lin, _SENTINEL)
+
+
+def delinearize(lin, shape):
+    """(V,) linear ids -> (V, 3) zyx; sentinel -> -1 rows."""
+    d, h, w = shape
+    ok = lin != _SENTINEL
+    safe = jnp.where(ok, lin, 0)
+    z = safe // (h * w)
+    y = (safe // w) % h
+    x = safe % w
+    out = jnp.stack([z, y, x], axis=-1).astype(jnp.int32)
+    return jnp.where(ok[:, None], out, -1)
+
+
+def build_hash(lin):
+    """Sorted-id index for O(log V) lookup: returns (sorted_lin, perm)."""
+    order = jnp.argsort(lin)
+    return lin[order], order.astype(jnp.int32)
+
+
+def lookup(sorted_lin, perm, queries):
+    """queries (Q,) -> (slot (Q,) int32 into the ORIGINAL voxel arrays,
+    found (Q,) bool). Sentinel queries are never found."""
+    v = sorted_lin.shape[0]
+    pos = jnp.searchsorted(sorted_lin, queries)
+    pos_c = jnp.minimum(pos, v - 1)
+    found = (sorted_lin[pos_c] == queries) & (queries != _SENTINEL)
+    return jnp.where(found, perm[pos_c], 0).astype(jnp.int32), found
+
+
+def _tap_offsets(kernel) -> np.ndarray:
+    """(K, 3) kernel tap offsets in (z, y, x) row-major order."""
+    kz, ky, kx = _as3(kernel)
+    g = np.stack(np.meshgrid(np.arange(kz), np.arange(ky), np.arange(kx),
+                             indexing="ij"), axis=-1)
+    return g.reshape(-1, 3)
+
+
+def subm_rulebook(coords, shape, kernel=3):
+    """Submanifold conv rulebook: output set == input set, stride 1,
+    padding k//2 (reference scn.py SubMConv3d defaults).
+
+    coords: (V, 3) zyx. Returns (idx (V, K), mask (V, K)).
+    """
+    k = _as3(kernel)
+    pad = tuple(kk // 2 for kk in k)
+    lin = linearize(coords, shape)
+    sorted_lin, perm = build_hash(lin)
+    taps = _tap_offsets(k) - np.asarray(pad)                # (K, 3)
+    q = coords[:, None, :] + jnp.asarray(taps, jnp.int32)[None]   # (V, K, 3)
+    qlin = linearize(q.reshape(-1, 3), shape)
+    idx, found = lookup(sorted_lin, perm, qlin)
+    kvol = taps.shape[0]
+    valid_row = (lin != _SENTINEL)[:, None]
+    return (idx.reshape(-1, kvol),
+            found.reshape(-1, kvol) & valid_row)
+
+
+def conv_out_coords(coords, shape, kernel, stride, padding, max_out):
+    """Exact spconv downsample output position set, compacted to max_out.
+
+    For input position p (per dim), candidate outputs are the o with
+    o*s - pad + j = p for some tap j in [0, k): at most ceil(k/s) values.
+    Union over all inputs, deduped by sort + head-flag, compacted in
+    sorted-linear-id order.
+
+    Returns (out_coords (max_out, 3) zyx with -1 padding, out_shape).
+    """
+    k, s, p = _as3(kernel), _as3(stride), _as3(padding)
+    oshape = out_spatial_shape(shape, k, s, p)
+    ncand = tuple(-(-k[d] // s[d]) for d in range(3))       # ceil(k/s)
+
+    # per-dim candidates: o_i = floor((p + pad)/s) - i for i in [0, ncand)
+    cand = []
+    valid = []
+    for d in range(3):
+        pd = coords[:, d]
+        base = (pd + p[d]) // s[d]
+        i = jnp.arange(ncand[d], dtype=jnp.int32)
+        o = base[:, None] - i[None, :]                      # (V, ncand_d)
+        j = pd[:, None] + p[d] - o * s[d]                   # tap index
+        ok = (o >= 0) & (o < oshape[d]) & (j >= 0) & (j < k[d]) \
+            & (pd >= 0)[:, None]
+        cand.append(o)
+        valid.append(ok)
+
+    oz = cand[0][:, :, None, None]
+    oy = cand[1][:, None, :, None]
+    ox = cand[2][:, None, None, :]
+    ok = (valid[0][:, :, None, None] & valid[1][:, None, :, None]
+          & valid[2][:, None, None, :])
+    lin = (oz * oshape[1] + oy) * oshape[2] + ox            # (V, nz, ny, nx)
+    lin = jnp.where(ok, lin, _SENTINEL).reshape(-1)
+
+    slin = jnp.sort(lin)
+    head = (slin != _SENTINEL) & jnp.concatenate(
+        [jnp.ones((1,), bool), slin[1:] != slin[:-1]])
+    rank = jnp.cumsum(head.astype(jnp.int32)) - 1
+    rank = jnp.where(head & (rank < max_out), rank, max_out)
+    out_lin = jnp.full((max_out,), _SENTINEL, slin.dtype).at[rank].set(
+        slin, mode="drop")
+    return delinearize(out_lin, oshape), oshape
+
+
+def conv_rulebook(in_coords, in_shape, out_coords, kernel, stride, padding):
+    """Strided sparse conv rulebook: for each output voxel o and tap j,
+    input position = o*s - pad + j, looked up in the input hash.
+
+    Returns (idx (O, K), mask (O, K))."""
+    k, s, p = _as3(kernel), _as3(stride), _as3(padding)
+    lin = linearize(in_coords, in_shape)
+    sorted_lin, perm = build_hash(lin)
+    taps = _tap_offsets(k)                                   # (K, 3)
+    sv = jnp.asarray(s, jnp.int32)
+    pv = jnp.asarray(p, jnp.int32)
+    q = (out_coords[:, None, :] * sv[None, None]
+         + jnp.asarray(taps, jnp.int32)[None] - pv[None, None])   # (O, K, 3)
+    qlin = linearize(q.reshape(-1, 3), in_shape)
+    idx, found = lookup(sorted_lin, perm, qlin)
+    kvol = taps.shape[0]
+    valid_row = (out_coords[:, 0] >= 0)[:, None]
+    return (idx.reshape(-1, kvol),
+            found.reshape(-1, kvol) & valid_row)
+
+
+def apply_conv(features, idx, mask, weights):
+    """Gather-GEMM sparse convolution.
+
+    features: (B, V, Cin); idx/mask: (B, O, K); weights: (K, Cin, Cout).
+    Returns (B, O, Cout). One skinny GEMM per kernel tap keeps peak memory
+    at O(B*O*Cin) while the MXU sees (B*O, Cin) x (Cin, Cout) contractions.
+    """
+    kvol = weights.shape[0]
+    out = None
+    for k in range(kvol):
+        g = jnp.take_along_axis(features, idx[:, :, k][..., None], axis=1)
+        g = g * mask[:, :, k][..., None].astype(features.dtype)
+        y = jnp.einsum("boc,cd->bod", g, weights[k],
+                       preferred_element_type=jnp.float32)
+        out = y if out is None else out + y
+    return out
+
+
+def to_dense(features, coords, shape):
+    """Scatter active voxels to a dense canvas.
+
+    features: (B, V, C); coords: (B, V, 3) zyx. Returns (B, D, H, W, C).
+    Parity: spconv SparseConvTensor.dense() (NCDHW there, NDHWC here).
+    """
+    d, h, w = shape
+    c = features.shape[-1]
+    lin = jax.vmap(lambda co: linearize(co, shape))(coords)
+    lin = jnp.where(lin == _SENTINEL, d * h * w, lin)       # OOB -> dropped
+
+    def scatter_one(feat, l):
+        return jnp.zeros((d * h * w, c), feat.dtype).at[l].set(
+            feat, mode="drop")
+
+    dense = jax.vmap(scatter_one)(features, lin)
+    return dense.reshape(-1, d, h, w, c)

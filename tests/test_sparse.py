@@ -1,0 +1,185 @@
+"""Sparse conv ops vs dense lax.conv oracle, and sparse middle smoke tests."""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from det3d_tpu.ops import sparse as sp
+
+SHAPE = (5, 9, 11)  # (D, H, W) zyx
+
+
+def _rand_sparse(rng, n_active, v_pad, c):
+    """Random unique active voxels padded to v_pad slots."""
+    d, h, w = SHAPE
+    lin = rng.choice(d * h * w, size=n_active, replace=False)
+    z, y, x = lin // (h * w), (lin // w) % h, lin % w
+    coords = np.full((v_pad, 3), -1, np.int32)
+    coords[:n_active] = np.stack([z, y, x], -1)
+    feats = np.zeros((v_pad, c), np.float32)
+    feats[:n_active] = rng.randn(n_active, c).astype(np.float32)
+    return jnp.asarray(feats), jnp.asarray(coords)
+
+
+def _densify(feats, coords, shape):
+    return np.asarray(sp.to_dense(feats[None], coords[None], shape))[0]
+
+
+def _dense_conv(x, w, stride, padding):
+    """x: (D,H,W,C); w: (K,Cin,Cout) row-major (kz,ky,kx) taps."""
+    kz = ky = kx = round(w.shape[0] ** (1 / 3))
+    if kz ** 3 != w.shape[0]:  # non-cubic kernels passed as explicit tuple
+        raise ValueError
+    wk = w.reshape(kz, ky, kx, w.shape[1], w.shape[2])
+    s = (stride,) * 3 if isinstance(stride, int) else stride
+    p = (padding,) * 3 if isinstance(padding, int) else padding
+    return jax.lax.conv_general_dilated(
+        x[None], wk, window_strides=s,
+        padding=[(pp, pp) for pp in p],
+        dimension_numbers=("NDHWC", "DHWIO", "NDHWC"))[0]
+
+
+def test_subm_matches_dense_at_active_sites(rng):
+    feats, coords = _rand_sparse(rng, 40, 64, 6)
+    w = jnp.asarray(rng.randn(27, 6, 8).astype(np.float32))
+    idx, mask = sp.subm_rulebook(coords, SHAPE, 3)
+    out = sp.apply_conv(feats[None], idx[None], mask[None], w)[0]
+
+    dense_in = _densify(feats, coords, SHAPE)
+    dense_out = np.asarray(_dense_conv(jnp.asarray(dense_in), w, 1, 1))
+    co = np.asarray(coords)
+    for i in range(40):
+        z, y, x = co[i]
+        np.testing.assert_allclose(np.asarray(out[i]), dense_out[z, y, x],
+                                   rtol=2e-4, atol=2e-4)
+    # padded rows produce zeros
+    np.testing.assert_allclose(np.asarray(out[40:]), 0.0)
+
+
+def test_strided_conv_matches_dense_everywhere(rng):
+    """Scattering the sparse output reproduces the dense conv exactly:
+    dense output is zero wherever the kernel footprint has no active input,
+    and the sparse output set covers every position with coverage."""
+    feats, coords = _rand_sparse(rng, 35, 64, 4)
+    w = jnp.asarray(rng.randn(27, 4, 5).astype(np.float32))
+
+    out_co, oshape = sp.conv_out_coords(coords, SHAPE, 3, 2, 1, 128)
+    idx, mask = sp.conv_rulebook(coords, SHAPE, out_co, 3, 2, 1)
+    out = sp.apply_conv(feats[None], idx[None], mask[None], w)[0]
+
+    sparse_as_dense = _densify(out, out_co, oshape)
+    dense_in = _densify(feats, coords, SHAPE)
+    dense_out = np.asarray(_dense_conv(jnp.asarray(dense_in), w, 2, 1))
+    assert dense_out.shape == sparse_as_dense.shape
+    np.testing.assert_allclose(sparse_as_dense, dense_out,
+                               rtol=2e-4, atol=2e-4)
+
+
+def test_asym_padding_strided_conv(rng):
+    feats, coords = _rand_sparse(rng, 30, 48, 4)
+    w = jnp.asarray(rng.randn(27, 4, 4).astype(np.float32))
+    pad = (0, 1, 1)
+    out_co, oshape = sp.conv_out_coords(coords, SHAPE, 3, 2, pad, 128)
+    idx, mask = sp.conv_rulebook(coords, SHAPE, out_co, 3, 2, pad)
+    out = sp.apply_conv(feats[None], idx[None], mask[None], w)[0]
+    sparse_as_dense = _densify(out, out_co, oshape)
+    dense_in = _densify(feats, coords, SHAPE)
+    dense_out = np.asarray(_dense_conv(jnp.asarray(dense_in), w, 2, pad))
+    np.testing.assert_allclose(sparse_as_dense, dense_out, rtol=2e-4,
+                               atol=2e-4)
+
+
+def test_non_cubic_kernel(rng):
+    """(3,1,1) stride (2,1,1) z-collapse conv (final SECOND stage)."""
+    feats, coords = _rand_sparse(rng, 30, 48, 4)
+    w = jnp.asarray(rng.randn(3, 4, 4).astype(np.float32))
+    out_co, oshape = sp.conv_out_coords(coords, SHAPE, (3, 1, 1), (2, 1, 1),
+                                        0, 128)
+    idx, mask = sp.conv_rulebook(coords, SHAPE, out_co, (3, 1, 1), (2, 1, 1),
+                                 0)
+    out = sp.apply_conv(feats[None], idx[None], mask[None], w)[0]
+    sparse_as_dense = _densify(out, out_co, oshape)
+    dense_in = _densify(feats, coords, SHAPE)
+    wk = w.reshape(3, 1, 1, 4, 4)
+    dense_out = np.asarray(jax.lax.conv_general_dilated(
+        jnp.asarray(dense_in)[None], wk, window_strides=(2, 1, 1),
+        padding=[(0, 0)] * 3,
+        dimension_numbers=("NDHWC", "DHWIO", "NDHWC"))[0])
+    np.testing.assert_allclose(sparse_as_dense, dense_out, rtol=2e-4,
+                               atol=2e-4)
+
+
+def _expected_out_set(coords, oshape):
+    expect = set()
+    for c in np.asarray(coords).tolist():
+        if c[0] < 0:
+            continue
+        for tz in range(3):
+            for ty in range(3):
+                for tx in range(3):
+                    oz, rz = divmod(c[0] + 1 - tz, 2)
+                    oy, ry = divmod(c[1] + 1 - ty, 2)
+                    ox, rx = divmod(c[2] + 1 - tx, 2)
+                    if rz or ry or rx:
+                        continue
+                    if (0 <= oz < oshape[0] and 0 <= oy < oshape[1]
+                            and 0 <= ox < oshape[2]):
+                        expect.add((oz, oy, ox))
+    return expect
+
+
+def test_out_coords_exact_set(rng):
+    """conv_out_coords = exactly the strided positions with footprint
+    coverage (spconv semantics). Note a sparse stride-2 conv can EXPAND the
+    active set (up to 8x for isolated voxels), so give it plenty of slots."""
+    _, coords = _rand_sparse(rng, 25, 40, 1)
+    out_co, oshape = sp.conv_out_coords(coords, SHAPE, 3, 2, 1, 256)
+    got = {tuple(c) for c in np.asarray(out_co).tolist() if c[0] >= 0}
+    expect = _expected_out_set(coords, oshape)
+    assert got == expect
+
+
+def test_out_coords_overflow_truncates(rng):
+    """With too few slots the result is a subset (lowest linear ids kept)."""
+    _, coords = _rand_sparse(rng, 25, 40, 1)
+    out_full, oshape = sp.conv_out_coords(coords, SHAPE, 3, 2, 1, 256)
+    out_small, _ = sp.conv_out_coords(coords, SHAPE, 3, 2, 1, 16)
+    full = {tuple(c) for c in np.asarray(out_full).tolist() if c[0] >= 0}
+    small = [tuple(c) for c in np.asarray(out_small).tolist() if c[0] >= 0]
+    assert len(small) == 16 and len(set(small)) == 16
+    assert set(small) <= full
+
+
+@pytest.mark.parametrize("cls_name", ["SpMiddleFHD", "SpMiddleResNetFHD"])
+def test_middle_backbone_forward_and_grad(rng, cls_name):
+    from det3d_tpu.models import backbones as bb
+    cls = getattr(bb, cls_name)
+    grid = (16, 16, 40)                      # (nx, ny, nz); z like KITTI
+    b, v, c = 2, 64, 4
+    model = cls(num_input_features=c)
+    feats = jnp.asarray(rng.randn(b, v, c).astype(np.float32))
+    coords = np.full((b, v, 3), -1, np.int32)
+    for i in range(b):
+        lin = rng.choice(40 * 16 * 16, size=40, replace=False)
+        coords[i, :40] = np.stack(
+            [lin // 256, (lin // 16) % 16, lin % 16], -1)
+    coords = jnp.asarray(coords)
+    variables = model.init(jax.random.PRNGKey(0), feats, coords, grid,
+                           train=False)
+    out = model.apply(variables, feats, coords, grid, train=False)
+    # z: 41 -> 21 -> 11 -> 5 -> 2; BEV H/8, W/8 = 2, 2
+    assert out.shape[0] == b and out.shape[1] == 2 and out.shape[2] == 2
+    assert np.isfinite(np.asarray(out)).all()
+
+    def loss_fn(params):
+        y, _ = model.apply(
+            {"params": params, "batch_stats": variables["batch_stats"]},
+            feats, coords, grid, train=True, mutable=["batch_stats"])
+        return jnp.sum(y ** 2)
+
+    grads = jax.grad(loss_fn)(variables["params"])
+    gnorm = float(jax.tree_util.tree_reduce(
+        lambda a, x: a + jnp.sum(x ** 2), grads, 0.0) ** 0.5)
+    assert np.isfinite(gnorm) and gnorm > 0
