@@ -1,0 +1,236 @@
+"""Synthetic mini-KITTI: infos, gt-db, pipeline, loader, official eval."""
+
+import pickle
+
+import numpy as np
+import pytest
+
+from det3d_tpu.core import box_np
+
+# lidar (x fwd, y left, z up) -> camera (x right, y down, z fwd)
+TR_VELO_TO_CAM = np.array([
+    [0, -1, 0, 0],
+    [0, 0, -1, 0],
+    [1, 0, 0, 0],
+    [0, 0, 0, 1.0]])
+P2 = np.array([
+    [500.0, 0, 621, 0],
+    [0, 500.0, 187, 0],
+    [0, 0, 1, 0],
+    [0, 0, 0, 1.0]])
+R0 = np.eye(4)
+
+
+def _write_scene(root, idx, boxes_lidar, names, rng):
+    """boxes_lidar: (N, 7) [x y z w l h yaw] true-center."""
+    velo_dir = root / "training" / "velodyne"
+    label_dir = root / "training" / "label_2"
+    calib_dir = root / "training" / "calib"
+    for d in (velo_dir, label_dir, calib_dir):
+        d.mkdir(parents=True, exist_ok=True)
+
+    pts = []
+    for b in boxes_lidar:
+        local = rng.uniform(-0.45, 0.45, (200, 3)) * b[3:6]
+        c, s = np.cos(b[6]), np.sin(b[6])
+        x = local[:, 0] * c + local[:, 1] * s + b[0]
+        y = -local[:, 0] * s + local[:, 1] * c + b[1]
+        z = local[:, 2] + b[2]
+        pts.append(np.stack([x, y, z, rng.uniform(0, 1, 200)], -1))
+    clutter = np.stack([
+        rng.uniform(0, 60, 4000), rng.uniform(-20, 20, 4000),
+        rng.uniform(-1.8, 0.5, 4000), rng.uniform(0, 1, 4000)], -1)
+    points = np.concatenate(pts + [clutter]).astype(np.float32)
+    points.tofile(velo_dir / f"{idx:06d}.bin")
+
+    # labels in camera frame (location = bottom center)
+    lines = []
+    for b, name in zip(boxes_lidar, names):
+        bottom = np.array([[b[0], b[1], b[2] - b[5] / 2]])
+        loc_cam = box_np.lidar_to_camera(bottom, R0, TR_VELO_TO_CAM)[0]
+        w, l, h = b[3], b[4], b[5]
+        ry = b[6]
+        corners = box_np.center_to_corner_box3d(
+            loc_cam[None], np.array([[l, h, w]]), np.array([ry]),
+            origin=[0.5, 1.0, 0.5], axis=1)
+        img = box_np.project_to_image(corners, P2)[0]
+        bbox = [img[:, 0].min(), img[:, 1].min(),
+                img[:, 0].max(), img[:, 1].max()]
+        lines.append(
+            f"{name} 0.00 0 0.00 {bbox[0]:.2f} {bbox[1]:.2f} {bbox[2]:.2f} "
+            f"{bbox[3]:.2f} {h:.2f} {w:.2f} {l:.2f} "
+            f"{loc_cam[0]:.2f} {loc_cam[1]:.2f} {loc_cam[2]:.2f} {ry:.2f}")
+    (label_dir / f"{idx:06d}.txt").write_text("\n".join(lines) + "\n")
+
+    calib_lines = []
+    for key, mat in (("P0", P2), ("P1", P2), ("P2", P2), ("P3", P2)):
+        calib_lines.append(
+            key + ": " + " ".join(str(v) for v in mat[:3].reshape(-1)))
+    calib_lines.append(
+        "R0_rect: " + " ".join(str(v) for v in R0[:3, :3].reshape(-1)))
+    calib_lines.append("Tr_velo_to_cam: " + " ".join(
+        str(v) for v in TR_VELO_TO_CAM[:3].reshape(-1)))
+    calib_lines.append("Tr_imu_to_velo: " + " ".join(
+        str(v) for v in np.eye(4)[:3].reshape(-1)))
+    (calib_dir / f"{idx:06d}.txt").write_text("\n".join(calib_lines) + "\n")
+
+
+@pytest.fixture(scope="module")
+def kitti_root(tmp_path_factory):
+    root = tmp_path_factory.mktemp("mini_kitti")
+    rng = np.random.RandomState(0)
+    # >= 41 valid val GTs so the 41 recall sample points of the official
+    # metric can all be populated (tiny sets cap AP at n_thresh/41)
+    n_scenes = 16
+    gt_per_scene = {}
+    # non-overlapping grid slots, close enough for the 40px easy gate;
+    # even/odd scenes use disjoint slot subsets so db-sampled clusters from
+    # the opposite parity land on free ground (paste-aug can succeed)
+    all_slots = [(9, -6), (9, 0), (9, 6), (14, -5), (14, 2), (17, -2),
+                 (9, -3), (9, 3), (11, 7), (14, -2), (14, 5), (17, 2)]
+    for idx in range(n_scenes):
+        slots = all_slots[idx % 2::2]
+        n = len(slots)
+        boxes = np.zeros((n, 7))
+        for g, (sx, sy) in enumerate(slots):
+            boxes[g, 0] = sx + rng.uniform(-0.8, 0.8)
+            boxes[g, 1] = sy + rng.uniform(-0.8, 0.8)
+        boxes[:, 2] = -1.0
+        boxes[:, 3:6] = [1.7, 4.1, 1.6]
+        boxes[:, 6] = rng.uniform(-np.pi / 4, np.pi / 4, n)
+        _write_scene(root, idx, boxes, ["Car"] * n, rng)
+        gt_per_scene[idx] = boxes
+    (root / "ImageSets").mkdir()
+    (root / "ImageSets" / "train.txt").write_text(
+        "".join(f"{i}\n" for i in range(8)))
+    (root / "ImageSets" / "val.txt").write_text(
+        "".join(f"{i}\n" for i in range(8, 16)))
+
+    from det3d_tpu.datasets.kitti.kitti_common import create_kitti_info_file
+    create_kitti_info_file(str(root))
+    from det3d_tpu.datasets.utils.create_gt_database import (
+        create_groundtruth_database)
+    create_groundtruth_database(
+        "KittiDataset", str(root), str(root / "kitti_infos_train.pkl"))
+    return root, gt_per_scene
+
+
+def _train_pipeline(root):
+    return [
+        dict(type="LoadPointCloudFromFile", dataset="KittiDataset"),
+        dict(type="LoadPointCloudAnnotations", with_bbox=True),
+        dict(type="Preprocess", cfg=dict(
+            mode="train", shuffle_points=True,
+            remove_unknown_examples=False,
+            gt_loc_noise=[0.25, 0.25, 0.25], gt_rot_noise=[-0.15, 0.15],
+            global_rot_noise=[-0.78, 0.78], global_scale_noise=[0.95, 1.05],
+            global_trans_noise=0.0,
+            class_names=["Car"],
+            db_sampler=dict(
+                enable=True, db_info_path=str(root / "dbinfos_train.pkl"),
+                sample_groups=[dict(Car=12)],
+                db_prep_steps=[
+                    dict(filter_by_min_num_points=dict(Car=5)),
+                    dict(filter_by_difficulty=[-1])],
+                rate=1.0),
+        )),
+        dict(type="Reformat", max_points=8192, max_gt=32),
+    ]
+
+
+def test_infos_and_gtdb_created(kitti_root):
+    root, _ = kitti_root
+    with open(root / "kitti_infos_train.pkl", "rb") as f:
+        infos = pickle.load(f)
+    assert len(infos) == 8
+    assert "annos" in infos[0] and "calib" in infos[0]
+    assert (infos[0]["annos"]["num_points_in_gt"] > 100).all()
+    with open(root / "dbinfos_train.pkl", "rb") as f:
+        db = pickle.load(f)
+    assert len(db["Car"]) >= 12
+    assert all(i["num_points_in_gt"] >= 150 for i in db["Car"])
+
+
+def test_train_pipeline_and_loader(kitti_root):
+    root, _ = kitti_root
+    from det3d_tpu.datasets import build_dataloader, build_dataset
+    ds = build_dataset(dict(
+        type="KittiDataset", root_path=str(root),
+        info_path=str(root / "kitti_infos_train.pkl"),
+        class_names=["Car"], pipeline=_train_pipeline(root)))
+    loader = build_dataloader(ds, batch_size=2, workers_per_gpu=0,
+                              shuffle=True)
+    batches = list(iter(loader))
+    batch = batches[0]
+    assert batch["points"].shape == (2, 8192, 4)
+    assert batch["gt_boxes"].shape == (2, 32, 7)
+    # 6 original cars per scene; anything above proves the db sampler
+    # pasted at least one non-colliding cluster. Pasting is stochastic
+    # (collision rejection), so scan the whole epoch.
+    max_valid = max(int(b["gt_valid"].sum()) for b in batches)
+    assert max_valid >= 13, max_valid
+    # multiprocess workers produce the same structure
+    loader2 = build_dataloader(ds, batch_size=2, workers_per_gpu=2,
+                               shuffle=True)
+    batch2 = next(iter(loader2))
+    assert batch2["points"].shape == (2, 8192, 4)
+
+
+def test_eval_perfect_predictions(kitti_root):
+    root, gt = kitti_root
+    from det3d_tpu.datasets import build_dataset
+    val_pipeline = [
+        dict(type="LoadPointCloudFromFile", dataset="KittiDataset"),
+        dict(type="LoadPointCloudAnnotations", with_bbox=True),
+    ]
+    ds = build_dataset(dict(
+        type="KittiDataset", root_path=str(root),
+        info_path=str(root / "kitti_infos_val.pkl"),
+        class_names=["Car"], pipeline=val_pipeline, test_mode=True))
+
+    detections = {}
+    rng = np.random.RandomState(7)
+    for scene in range(8, 16):
+        boxes = gt[scene].copy()
+        detections[str(scene)] = {
+            "box3d_lidar": boxes.astype(np.float32),
+            "scores": rng.uniform(0.5, 1.0, len(boxes)).astype(np.float32),
+            "label_preds": np.zeros((len(boxes),), np.int64),
+        }
+    results, dt_annos = ds.evaluation(detections, None)
+    detail = results["detail"]["eval.kitti"]["official"]
+    assert detail["Car_3d_easy"] > 99.0, detail
+    assert detail["Car_bev_easy"] > 99.0
+    assert detail["Car_bbox_easy"] > 99.0
+
+    # empty predictions -> AP 0
+    empty = {str(s): {"box3d_lidar": np.zeros((0, 7), np.float32),
+                      "scores": np.zeros((0,), np.float32),
+                      "label_preds": np.zeros((0,), np.int64)}
+             for s in range(8, 16)}
+    results0, _ = ds.evaluation(empty, None)
+    assert results0["detail"]["eval.kitti"]["official"]["Car_3d_easy"] < 1.0
+
+
+def test_eval_penalizes_bad_boxes(kitti_root):
+    root, gt = kitti_root
+    from det3d_tpu.datasets import build_dataset
+    ds = build_dataset(dict(
+        type="KittiDataset", root_path=str(root),
+        info_path=str(root / "kitti_infos_val.pkl"),
+        class_names=["Car"],
+        pipeline=[dict(type="LoadPointCloudFromFile", dataset="KittiDataset"),
+                  dict(type="LoadPointCloudAnnotations", with_bbox=True)],
+        test_mode=True))
+    detections = {}
+    for scene in range(8, 16):
+        boxes = gt[scene].copy()
+        boxes[:, 0] += 3.0                      # shift 3m -> IoU < 0.7
+        detections[str(scene)] = {
+            "box3d_lidar": boxes.astype(np.float32),
+            "scores": np.full((len(boxes),), 0.9, np.float32),
+            "label_preds": np.zeros((len(boxes),), np.int64),
+        }
+    results, _ = ds.evaluation(detections, None)
+    detail = results["detail"]["eval.kitti"]["official"]
+    assert detail["Car_3d_easy"] < 50.0
