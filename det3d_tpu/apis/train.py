@@ -1,0 +1,215 @@
+"""Config-driven train / eval drivers.
+
+Parity: reference det3d/torchie/apis/train.py:250-325 ``train_detector`` and
+tools/dist_test.py's eval path — re-designed around one jitted device step:
+dataloaders feed padded host batches; voxelization, target assignment,
+forward, loss, gradient psum and the optimizer update all run fused on the
+mesh (parallel/train.py). DDP/SyncBN/DistOptimizerHook have no equivalents
+here; the mesh is the distribution strategy.
+"""
+
+from __future__ import annotations
+
+import logging
+from typing import Any, Dict, List, Optional, Sequence
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+
+from det3d_tpu.core.anchors import build_box_coder
+from det3d_tpu.core.target import build_target_assigners
+from det3d_tpu.core.voxelize import VoxelGenerator
+from det3d_tpu.datasets import build_dataloader, build_dataset
+from det3d_tpu.models.builder import build_detector
+from det3d_tpu.parallel.mesh import make_mesh
+from det3d_tpu.parallel.train import (TrainState, build_example,
+                                      make_loss_eval_step, make_predict_step,
+                                      make_train_step)
+from det3d_tpu.runtime.hooks import (CheckpointHook, IterTimerHook,
+                                     TensorboardLoggerHook, TextLoggerHook)
+from det3d_tpu.runtime.trainer import Trainer
+from det3d_tpu.solver import build_optimizer
+from det3d_tpu.solver.schedules import build_lr_schedule
+
+BATCH_KEYS = ("points", "num_points", "gt_boxes", "gt_classes", "gt_valid")
+
+
+def batch_to_device(batch: Dict[str, Any]) -> Dict[str, jnp.ndarray]:
+    return {k: jnp.asarray(v) for k, v in batch.items() if k in BATCH_KEYS}
+
+
+def build_stack(cfg):
+    """Build (model, voxel_gen, assigners, class_ids_per_task, test_cfg)
+    from a reference-schema config."""
+    vg_cfg = cfg["voxel_generator"]
+    voxel_gen = VoxelGenerator(
+        voxel_size=vg_cfg["voxel_size"],
+        point_cloud_range=vg_cfg["range"],
+        max_num_points=vg_cfg.get("max_points_in_voxel", 100),
+        max_voxels=vg_cfg.get("max_voxel_num", 20000))
+    grid = voxel_gen.grid_size
+
+    model = build_detector(cfg["model"], train_cfg=cfg.get("train_cfg"),
+                           test_cfg=cfg.get("test_cfg"), grid_size=grid)
+
+    assigner_cfg = cfg["assigner"]
+    box_coder = build_box_coder(assigner_cfg["box_coder"])
+    tasks = cfg["tasks"]
+    assigners = build_target_assigners(
+        assigner_cfg["target_assigner"], box_coder, tasks)
+    osf = int(assigner_cfg["out_size_factor"])
+    fm = [1, grid[1] // osf, grid[0] // osf]
+    for a in assigners:
+        a.generate_anchors(fm)
+
+    # global 1-based class ids per task (Preprocess numbers classes over the
+    # flattened class_names list — pipelines/preprocess.py:196-200)
+    flat: List[str] = []
+    for t in tasks:
+        flat += list(t["class_names"])
+    class_ids_per_task = []
+    for t in tasks:
+        class_ids_per_task.append(
+            [flat.index(n) + 1 for n in t["class_names"]])
+    return model, voxel_gen, assigners, class_ids_per_task, \
+        cfg.get("test_cfg")
+
+
+def init_state(cfg, model, voxel_gen, sample_batch, total_steps,
+               rng_seed=0):
+    example = build_example(sample_batch, voxel_gen, [], [],
+                            with_targets=False)
+    variables = model.init(
+        jax.random.PRNGKey(rng_seed), example["voxels"],
+        example["num_points_per_voxel"], example["coordinates"], train=False)
+    lr_fn, mom_fn = build_lr_schedule(cfg["lr_config"], total_steps)
+    tx = build_optimizer(cfg["optimizer"], lr_fn, mom_fn)
+    state = TrainState.create(variables["params"],
+                              variables.get("batch_stats", {}), tx)
+    return state, lr_fn
+
+
+def train_detector(cfg, work_dir: Optional[str] = None,
+                   resume_from: Optional[str] = None,
+                   logger: Optional[logging.Logger] = None,
+                   use_mesh: bool = True, seed: int = 0):
+    model, voxel_gen, assigners, class_ids, test_cfg = build_stack(cfg)
+
+    data_cfg = cfg["data"]
+    train_ds = build_dataset(data_cfg["train"])
+    samples_per_gpu = data_cfg.get("samples_per_gpu", 2)
+    n_dev = len(jax.devices())
+    batch_size = samples_per_gpu * n_dev
+    loader = build_dataloader(
+        train_ds, batch_size,
+        workers_per_gpu=data_cfg.get("workers_per_gpu", 0),
+        dist=jax.process_count() > 1, seed=seed)
+
+    total_epochs = int(cfg.get("total_epochs", 20))
+    total_steps = len(loader) * total_epochs
+
+    first = batch_to_device(next(iter(loader)))
+    state, lr_fn = init_state(cfg, model, voxel_gen, first, total_steps,
+                              rng_seed=seed)
+
+    mesh = make_mesh() if use_mesh and n_dev > 1 else None
+    train_step_raw = make_train_step(model, voxel_gen, assigners, class_ids,
+                                     mesh=mesh)
+
+    def train_step(state, batch):
+        return train_step_raw(state, batch_to_device(batch))
+
+    val_step = None
+    workflow = list(cfg.get("workflow", [("train", 1)]))
+    loaders = []
+    for mode, _ in workflow:
+        if mode == "train":
+            loaders.append(loader)
+        else:
+            val_ds = build_dataset(data_cfg["val"])
+            val_loader = build_dataloader(
+                val_ds, batch_size,
+                workers_per_gpu=data_cfg.get("workers_per_gpu", 0),
+                dist=jax.process_count() > 1, shuffle=False, seed=seed)
+            loaders.append(val_loader)
+            raw_val = make_loss_eval_step(model, voxel_gen, assigners,
+                                          class_ids, mesh=mesh)
+
+            def val_step(state, batch, _raw=raw_val):  # noqa: F811
+                return _raw(state, batch_to_device(batch))
+
+    trainer = Trainer(state, train_step, val_step, work_dir=work_dir,
+                      lr_fn=lr_fn, logger=logger,
+                      meta={"config": cfg.get("_text", ""),
+                            "classes": [t["class_names"]
+                                        for t in cfg["tasks"]]})
+    trainer.register_hook(IterTimerHook())
+    trainer.register_hook(
+        CheckpointHook(interval=int(cfg.get("checkpoint_interval", 1))))
+    log_interval = int(cfg.get("log_interval",
+                               cfg.get("log_config", {}).get("interval", 10)))
+    trainer.register_hook(TextLoggerHook(interval=log_interval), "VERY_LOW")
+    if work_dir and cfg.get("tensorboard", True):
+        try:
+            trainer.register_hook(
+                TensorboardLoggerHook(interval=log_interval), "VERY_LOW")
+        except Exception:
+            pass
+    if resume_from:
+        trainer.resume(resume_from)
+    elif cfg.get("resume_from"):
+        trainer.resume(cfg["resume_from"])
+
+    trainer.run(loaders, workflow, total_epochs)
+    return trainer
+
+
+def eval_detector(cfg, state, work_dir: Optional[str] = None,
+                  split: str = "val", use_mesh: bool = False):
+    """Run prediction over a split and the dataset's official evaluation.
+
+    Parity: tools/dist_test.py:130-241 (minus the NCCL plumbing)."""
+    from det3d_tpu.datasets.loader.loader import collate
+
+    model, voxel_gen, assigners, class_ids, test_cfg = build_stack(cfg)
+    data_cfg = cfg["data"]
+    ds = build_dataset(data_cfg[split])
+    batch_size = data_cfg.get("samples_per_gpu", 2)
+
+    def batches():
+        # fixed batch shape: pad the tail chunk by repeating its last
+        # example (duplicate tokens just overwrite in the detections dict)
+        for i in range(0, len(ds), batch_size):
+            examples = [ds[j]
+                        for j in range(i, min(i + batch_size, len(ds)))]
+            while len(examples) < batch_size:
+                examples.append(examples[-1])
+            yield collate(examples)
+
+    predict_step = make_predict_step(model, voxel_gen, assigners, class_ids,
+                                     test_cfg)
+    detections: Dict[str, Any] = {}
+    import time
+    times = []
+    for batch in batches():
+        t0 = time.perf_counter()
+        out = predict_step(state, batch_to_device(batch))
+        out = jax.tree_util.tree_map(np.asarray, out)
+        times.append(time.perf_counter() - t0)
+        metas = batch["metadata"]
+        for b, meta in enumerate(metas):
+            v = out["valid"][b]
+            detections[str(meta["token"])] = {
+                "box3d_lidar": out["box3d_lidar"][b][v],
+                "scores": out["scores"][b][v],
+                "label_preds": out["label_preds"][b][v],
+                "metadata": meta,
+            }
+    if len(times) > 2:
+        mid = times[len(times) // 3: 2 * len(times) // 3]
+        per_frame = float(np.mean(mid)) / batch_size
+        print(f"Total time per frame: {per_frame * 1e3:.1f} ms")
+    results, dt_annos = ds.evaluation(detections, work_dir)
+    return results, detections

@@ -42,7 +42,7 @@ class GroupSampler:
             extra = int(np.ceil(size / self.samples_per_gpu)
                         ) * self.samples_per_gpu - len(idx)
             if extra:
-                idx = np.concatenate([idx, idx[:extra]])
+                idx = np.concatenate([idx, np.resize(idx, extra)])
             indices.append(idx)
         indices = np.concatenate(indices)
         # shuffle whole batches
@@ -67,11 +67,9 @@ class DistributedGroupSampler(GroupSampler):
 
     def __iter__(self):
         indices = list(super().__iter__())
-        extra = self.total_size - len(indices)
-        if extra > 0:
-            indices += indices[:extra]
-        else:
-            indices = indices[:self.total_size]
+        while len(indices) < self.total_size:
+            indices += indices[:self.total_size - len(indices)]
+        indices = indices[:self.total_size]
         # per-rank contiguous block (reference sampler.py:205-216)
         offset = self.num_samples * self.rank
         return iter(indices[offset:offset + self.num_samples])

@@ -160,7 +160,7 @@ class TextLoggerHook(Hook):
             total = trainer.max_iters or 0
             if done > 0 and total:
                 eta = (time.time() - self.t_start) / done * (total - trainer.iter - 1)
-                log["eta"] = str(datetime.timedelta(seconds=int(eta)))
+                log["eta"] = str(datetime.timedelta(seconds=max(int(eta), 0)))
         items = ", ".join(
             f"{k}: {v:.4f}" if isinstance(v, float) else f"{k}: {v}"
             for k, v in log.items() if k not in ("mode",))

@@ -27,6 +27,7 @@ from det3d_tpu.runtime.log_buffer import LogBuffer
 def _get_host_logger(work_dir: Optional[str], timestamp: str) -> logging.Logger:
     logger = logging.getLogger("det3d_tpu")
     logger.setLevel(logging.INFO)
+    logger.propagate = False          # root logger would double-print
     if not logger.handlers:
         sh = logging.StreamHandler()
         sh.setFormatter(logging.Formatter(
