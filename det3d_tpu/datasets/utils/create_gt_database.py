@@ -19,13 +19,12 @@ from det3d_tpu.datasets.builder import build_dataset
 
 def create_groundtruth_database(dataset_class_name, data_path, info_path,
                                 db_path=None, dbinfo_path=None,
-                                used_classes=None):
+                                used_classes=None, nsweeps=10):
     pipeline = [
         dict(type="LoadPointCloudFromFile", dataset=dataset_class_name),
         dict(type="LoadPointCloudAnnotations", with_bbox=True),
     ]
     if dataset_class_name in ("NuScenesDataset",):
-        nsweeps = 10
         ds_cfg = dict(type=dataset_class_name, root_path=data_path,
                       info_path=info_path, pipeline=pipeline,
                       test_mode=True, nsweeps=nsweeps)

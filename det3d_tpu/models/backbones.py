@@ -155,6 +155,7 @@ class SpMiddleFHD(nn.Module):
     num_input_features: int = 128
     norm_cfg: Optional[dict] = None
     axis_name: Optional[str] = None
+    ds_factor: int = 8            # informational (config_tool downsample)
     name_str: str = "SpMiddleFHD"
 
     @nn.compact
@@ -208,6 +209,7 @@ class SpMiddleResNetFHD(nn.Module):
     num_input_features: int = 128
     norm_cfg: Optional[dict] = None
     axis_name: Optional[str] = None
+    ds_factor: int = 8            # informational (config_tool downsample)
     name_str: str = "SpMiddleResNetFHD"
 
     @nn.compact

@@ -32,7 +32,11 @@ def nuscenes_data_prep(root_path, version="v1.0-trainval", nsweeps=10):
     if "test" not in version:
         create_groundtruth_database(
             "NuScenesDataset", root_path,
-            str(Path(root_path) / f"infos_train_{nsweeps:02d}sweeps.pkl"))
+            str(Path(root_path)
+                / f"infos_train_{nsweeps:02d}sweeps_withvelo.pkl"),
+            dbinfo_path=str(Path(root_path)
+                            / f"dbinfos_train_{nsweeps:02d}sweeps.pkl"),
+            nsweeps=nsweeps)
 
 
 def main():
