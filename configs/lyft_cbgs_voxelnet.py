@@ -1,0 +1,148 @@
+"""CBGS Lyft: VoxelNet + SpMiddleResNetFHD + RPN2, 7-class.
+
+Parity config: reference examples/cbgs/configs/
+lyft_all_vfev3_spmiddleresnetfhd_rpn2_mghead_syncbn.py. Data root from
+$LYFT_DATA.
+"""
+
+import itertools
+import os
+
+data_root = os.environ.get("LYFT_DATA", "/data/lyft")
+nsweeps = 10
+
+tasks = [
+    dict(num_class=1, class_names=["car"]),
+    dict(num_class=1, class_names=["pedestrian"]),
+    dict(num_class=2, class_names=["motorcycle", "bicycle"]),
+    dict(num_class=1, class_names=["other_vehicle"]),
+    dict(num_class=2, class_names=["bus", "truck"]),
+]
+class_names = list(itertools.chain(*[t["class_names"] for t in tasks]))
+norm_cfg = dict(type="SyncBN", eps=1e-3, momentum=0.01)
+
+_ANCHORS = [
+    ("car", [1.93, 4.75, 1.72], -0.86, 0.6, 0.45),
+    ("pedestrian", [0.77, 0.81, 1.78], -0.81, 0.55, 0.4),
+    ("motorcycle", [0.97, 2.36, 1.60], -0.9, 0.55, 0.4),
+    ("bicycle", [0.64, 1.76, 1.46], -1.04, 0.55, 0.4),
+    ("other_vehicle", [2.79, 8.2, 3.24], -0.08, 0.55, 0.4),
+    ("bus", [2.94, 12.5, 3.43], -0.015, 0.6, 0.45),
+    ("truck", [2.83, 10.2, 3.44], -0.015, 0.6, 0.45),
+]
+target_assigner = dict(
+    type="iou",
+    anchor_generators=[
+        dict(type="anchor_generator_range", sizes=size,
+             anchor_ranges=[-100.8, -100.8, z, 100.8, 100.8, z],
+             rotations=[0, 1.57], velocities=[0, 0],
+             matched_threshold=m, unmatched_threshold=u, class_name=name)
+        for name, size, z, m, u in _ANCHORS],
+    sample_positive_fraction=-1,
+    sample_size=512,
+    region_similarity_calculator=dict(type="nearest_iou_similarity"),
+    tasks=tasks,
+)
+box_coder = dict(type="ground_box3d_coder", n_dim=9, linear_dim=False,
+                 encode_angle_vector=True)
+
+model = dict(
+    type="VoxelNet",
+    reader=dict(type="VoxelFeatureExtractorV3", num_input_features=5),
+    backbone=dict(type="SpMiddleResNetFHD", num_input_features=5,
+                  ds_factor=8, norm_cfg=norm_cfg),
+    neck=dict(type="RPN", layer_nums=[5, 5], ds_layer_strides=[1, 2],
+              ds_num_filters=[128, 256], us_layer_strides=[1, 2],
+              us_num_filters=[256, 256], num_input_features=256,
+              norm_cfg=norm_cfg),
+    bbox_head=dict(
+        type="MultiGroupHead", mode="3d", in_channels=512,
+        norm_cfg=norm_cfg, tasks=tasks, weights=[1],
+        box_coder=box_coder,
+        encode_background_as_zeros=True,
+        loss_norm=dict(type="NormByNumPositives", pos_cls_weight=1.0,
+                       neg_cls_weight=2.0),
+        loss_cls=dict(type="SigmoidFocalLoss", alpha=0.25, gamma=2.0,
+                      loss_weight=1.0),
+        use_sigmoid_score=True,
+        loss_bbox=dict(type="WeightedSmoothL1Loss", sigma=3.0,
+                       code_weights=[1.0, 1.0, 1.0, 1.0, 1.0, 1.0,
+                                     0.2, 0.2, 1.0, 1.0],
+                       codewise=True, loss_weight=0.25),
+        encode_rad_error_by_sin=False,
+        loss_aux=None,
+    ),
+)
+
+assigner = dict(box_coder=box_coder, target_assigner=target_assigner,
+                out_size_factor=8)
+train_cfg = dict(assigner=assigner)
+
+test_cfg = dict(
+    nms=dict(use_rotate_nms=True, use_multi_class_nms=False,
+             nms_pre_max_size=1000, nms_post_max_size=83,
+             nms_iou_threshold=0.2),
+    score_threshold=0.1,
+    post_center_limit_range=[-110, -110, -6, 110, 110, 2],
+    max_per_img=500,
+)
+
+voxel_generator = dict(
+    range=[-100.8, -100.8, -4.0, 100.8, 100.8, 2.0],
+    voxel_size=[0.1, 0.1, 0.15],
+    max_points_in_voxel=10,
+    max_voxel_num=80000,
+)
+
+train_preprocessor = dict(
+    mode="train", shuffle_points=True,
+    gt_loc_noise=[0.0, 0.0, 0.0], gt_rot_noise=[0.0, 0.0],
+    global_rot_noise=[-0.3925, 0.3925],
+    global_scale_noise=[0.95, 1.05],
+    global_trans_noise=[0.2, 0.2, 0.2],
+    remove_unknown_examples=False,
+    db_sampler=None,
+    class_names=class_names,
+)
+val_preprocessor = dict(mode="val", shuffle_points=False)
+
+train_pipeline = [
+    dict(type="LoadPointCloudFromFile", dataset="LyftDataset"),
+    dict(type="LoadPointCloudAnnotations", with_bbox=True),
+    dict(type="Preprocess", cfg=train_preprocessor),
+    dict(type="Voxelization", cfg=voxel_generator),
+    dict(type="AssignTarget", cfg=train_cfg["assigner"]),
+    dict(type="Reformat", max_points=300000, max_gt=500, box_dim=9),
+]
+test_pipeline = [
+    dict(type="LoadPointCloudFromFile", dataset="LyftDataset"),
+    dict(type="LoadPointCloudAnnotations", with_bbox=True),
+    dict(type="Preprocess", cfg=val_preprocessor),
+    dict(type="Reformat", max_points=300000, max_gt=500, box_dim=9),
+]
+
+data = dict(
+    samples_per_gpu=6,
+    workers_per_gpu=4,
+    train=dict(type="LyftDataset", root_path=data_root,
+               info_path=os.path.join(
+                   data_root, f"lyft_infos_train_{nsweeps:02d}sweeps.pkl"),
+               nsweeps=nsweeps, class_names=class_names,
+               pipeline=train_pipeline),
+    val=dict(type="LyftDataset", root_path=data_root,
+             info_path=os.path.join(
+                 data_root, f"lyft_infos_val_{nsweeps:02d}sweeps.pkl"),
+             nsweeps=nsweeps, test_mode=True, class_names=class_names,
+             pipeline=test_pipeline),
+)
+
+optimizer = dict(TYPE="adam", VALUE=dict(amsgrad=0.0, wd=0.01),
+                 FIXED_WD=True, MOVING_AVERAGE=False)
+optimizer_config = dict(grad_clip=dict(max_norm=35, norm_type=2))
+lr_config = dict(type="one_cycle", lr_max=0.01, moms=[0.95, 0.85],
+                 div_factor=10.0, pct_start=0.4)
+
+checkpoint_interval = 1
+log_interval = 5
+total_epochs = 20
+workflow = [("train", 1)]

@@ -78,7 +78,9 @@ def _resolve_splits(root_path, version, splits: Optional[Dict] = None):
 
 
 def _fill_infos(nusc: NuScenesTables, train_scene_tokens, test=False,
-                nsweeps=10):
+                nsweeps=10, name_map=None):
+    if name_map is None:
+        name_map = general_to_detection
     train_infos, val_infos = [], []
     for sample in nusc.table("sample"):
         ref_sd_token = sample["data"]["LIDAR_TOP"]
@@ -161,7 +163,7 @@ def _fill_infos(nusc: NuScenesTables, train_scene_tokens, test=False,
             info["gt_boxes"] = gt_boxes[mask]
             info["gt_boxes_velocity"] = velocity[mask]
             info["gt_names"] = np.array(
-                [general_to_detection.get(n, "ignore") for n in names])[mask]
+                [name_map.get(n, n) for n in names])[mask]
             info["gt_boxes_token"] = tokens[mask]
             info["gt_attributes"] = np.array(attrs)[mask]
             info["gt_num_pts"] = np.array(

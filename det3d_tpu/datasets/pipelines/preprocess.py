@@ -53,10 +53,11 @@ class Preprocess:
 
     def __call__(self, res, info):
         res["mode"] = self.mode
-        if res["type"] in ("KittiDataset", "LyftDataset"):
+        if res["type"] == "KittiDataset":
             points = res["lidar"]["points"]
         else:
-            points = res["lidar"]["combined"]
+            # multi-sweep datasets carry the time-lag channel in "combined"
+            points = res["lidar"].get("combined", res["lidar"]["points"])
 
         if self.mode != "train":
             if self.shuffle_points:

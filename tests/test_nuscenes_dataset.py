@@ -132,3 +132,30 @@ def test_native_eval(nusc_root):
              for info in ds._nusc_infos}
     results3, _ = ds.evaluation(empty, None)
     assert results3["detail"]["eval.nusc"]["mean_ap"] < 0.01
+
+
+def test_lyft_dataset_and_eval(nusc_root):
+    """Lyft shares the table machinery; kaggle-style 3D-IoU mAP eval."""
+    root, _ = nusc_root
+    from det3d_tpu.datasets.lyft.lyft import create_lyft_infos
+    from det3d_tpu.datasets import build_dataset
+    import json
+    create_lyft_infos(str(root), version=mn.VERSION, nsweeps=3,
+                      splits=json.loads((root / "splits.json").read_text()))
+    class_names = ["vehicle.car", "human.pedestrian.adult"]
+    ds = build_dataset(dict(
+        type="LyftDataset", root_path=str(root),
+        info_path=str(root / "lyft_infos_val_03sweeps.pkl"),
+        class_names=class_names, nsweeps=3, pipeline=[], test_mode=True))
+    assert len(ds) == 4
+    dets = _perfect_preds(ds._nusc_infos, class_names)
+    results, _ = ds.evaluation(dets, None)
+    detail = results["detail"]["eval.lyft"]
+    assert detail["mAP"] > 0.99, detail
+
+    # degraded boxes lose the high-IoU thresholds first
+    rng = np.random.RandomState(5)
+    noisy = _perfect_preds(ds._nusc_infos, class_names, noise=0.4, rng=rng)
+    results2, _ = ds.evaluation(noisy, None)
+    aps = np.asarray(results2["detail"]["eval.lyft"]["aps"])
+    assert np.nanmean(aps[:, 0]) > np.nanmean(aps[:, -1])

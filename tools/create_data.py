@@ -39,6 +39,11 @@ def nuscenes_data_prep(root_path, version="v1.0-trainval", nsweeps=10):
             nsweeps=nsweeps)
 
 
+def lyft_data_prep(root_path, version="v1.0-trainval", nsweeps=10):
+    from det3d_tpu.datasets.lyft.lyft import create_lyft_infos
+    create_lyft_infos(root_path, version=version, nsweeps=nsweeps)
+
+
 def main():
     parser = argparse.ArgumentParser(description="Dataset preparation")
     sub = parser.add_subparsers(dest="cmd", required=True)
@@ -51,11 +56,18 @@ def main():
     n.add_argument("--version", default="v1.0-trainval")
     n.add_argument("--nsweeps", type=int, default=10)
 
+    ly = sub.add_parser("lyft_data_prep")
+    ly.add_argument("--root_path", required=True)
+    ly.add_argument("--version", default="v1.0-trainval")
+    ly.add_argument("--nsweeps", type=int, default=10)
+
     args = parser.parse_args()
     if args.cmd == "kitti_data_prep":
         kitti_data_prep(args.root_path)
     elif args.cmd == "nuscenes_data_prep":
         nuscenes_data_prep(args.root_path, args.version, args.nsweeps)
+    elif args.cmd == "lyft_data_prep":
+        lyft_data_prep(args.root_path, args.version, args.nsweeps)
 
 
 if __name__ == "__main__":
