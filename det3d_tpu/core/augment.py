@@ -16,6 +16,8 @@ from typing import Optional, Sequence
 
 import numpy as np
 
+from det3d_tpu import csrc
+
 _EPS = 1e-8
 
 
@@ -101,19 +103,32 @@ def intersection_area_corners(corners_a, corners_b):
 
 def box_collision_test(corners_a, corners_b):
     """(N,4,2) x (K,4,2) -> (N,K) bool any-overlap (parity:
-    preprocess.py:877 ``box_collision_test``, via intersection area)."""
+    preprocess.py:877 ``box_collision_test``, via intersection area).
+    Uses the native C++ kernel (csrc/pointops.cc) when built."""
     n, k = corners_a.shape[0], corners_b.shape[0]
     if n == 0 or k == 0:
         return np.zeros((n, k), bool)
     ca = np.broadcast_to(corners_a[:, None], (n, k, 4, 2))
     cb = np.broadcast_to(corners_b[None, :], (n, k, 4, 2))
+    native = csrc.intersection_area(ca.reshape(-1, 4, 2),
+                                    cb.reshape(-1, 4, 2))
+    if native is not None:
+        return (native > 1e-8).reshape(n, k)
     return intersection_area_corners(ca, cb) > 1e-8
 
 
 def points_in_rbbox(points, boxes, origin=(0.5, 0.5, 0.5)):
-    """(P,>=3) x (N,7) -> (P,N) bool; numpy twin of geometry.points_in_rbbox."""
+    """(P,>=3) x (N,7) -> (P,N) bool; numpy twin of geometry.points_in_rbbox.
+    Uses the native C++ kernel (csrc/pointops.cc) when built."""
     if boxes.shape[0] == 0:
         return np.zeros((points.shape[0], 0), bool)
+    boxes = np.asarray(boxes, np.float64)
+    adj = boxes[:, :7].copy()
+    adj[:, :3] += (0.5 - np.asarray(origin)) * boxes[:, 3:6]
+    adj[:, 6] = boxes[:, -1]
+    native = csrc.points_in_rbbox(np.asarray(points, np.float32), adj)
+    if native is not None:
+        return native
     centers, dims, angles = boxes[:, :3], boxes[:, 3:6], boxes[:, -1]
     origin = np.asarray(origin, np.float32)
     true_centers = centers + (0.5 - origin)[None] * dims

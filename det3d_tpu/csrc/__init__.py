@@ -1,0 +1,101 @@
+"""Native host-side kernels: lazy g++ build + ctypes binding.
+
+The reference ships 10 CUDA/C++ extension packages built at import time
+(det3d/utils/buildtools/command.py). Here the device side is all XLA; the
+native code that remains is the host data plane's geometry hot paths
+(pointops.cc), compiled once into ``_build/libpointops.so`` on first use
+and bound over a C ABI. ``DET3D_NATIVE=0`` disables the native path (the
+numpy implementations in core/augment.py are the reference semantics).
+"""
+
+from __future__ import annotations
+
+import ctypes
+import os
+import subprocess
+from pathlib import Path
+from typing import Optional
+
+import numpy as np
+
+_DIR = Path(__file__).resolve().parent
+_BUILD = _DIR / "_build"
+_LIB: Optional[ctypes.CDLL] = None
+_TRIED = False
+
+
+def _compile() -> Optional[Path]:
+    src = _DIR / "pointops.cc"
+    out = _BUILD / "libpointops.so"
+    if out.exists() and out.stat().st_mtime >= src.stat().st_mtime:
+        return out
+    _BUILD.mkdir(exist_ok=True)
+    cmd = ["g++", "-O3", "-shared", "-fPIC", "-fopenmp", "-std=c++17",
+           str(src), "-o", str(out)]
+    try:
+        subprocess.run(cmd, check=True, capture_output=True, timeout=120)
+        return out
+    except Exception:
+        return None
+
+
+def get_lib() -> Optional[ctypes.CDLL]:
+    global _LIB, _TRIED
+    if _LIB is not None or _TRIED:
+        return _LIB
+    _TRIED = True
+    if os.environ.get("DET3D_NATIVE", "1") == "0":
+        return None
+    path = _compile()
+    if path is None:
+        return None
+    try:
+        lib = ctypes.CDLL(str(path))
+    except OSError:
+        return None
+    i64 = ctypes.c_int64
+    f32p = np.ctypeslib.ndpointer(np.float32, flags="C_CONTIGUOUS")
+    f64p = np.ctypeslib.ndpointer(np.float64, flags="C_CONTIGUOUS")
+    u8p = np.ctypeslib.ndpointer(np.uint8, flags="C_CONTIGUOUS")
+    lib.points_in_rbbox.argtypes = [f32p, i64, i64, f32p, i64, u8p]
+    lib.box_collision.argtypes = [f32p, i64, f32p, i64, u8p]
+    lib.intersection_area.argtypes = [f64p, f64p, i64, f64p]
+    _LIB = lib
+    return _LIB
+
+
+def points_in_rbbox(points, boxes):
+    """(P, >=3) float, (N, 7) [x y z w l h r] -> (P, N) bool or None."""
+    lib = get_lib()
+    if lib is None:
+        return None
+    pts = np.ascontiguousarray(points, np.float32)
+    bxs = np.ascontiguousarray(boxes, np.float32)
+    out = np.empty((pts.shape[0], bxs.shape[0]), np.uint8)
+    lib.points_in_rbbox(pts, pts.shape[0], pts.shape[1], bxs, bxs.shape[0],
+                        out)
+    return out.astype(bool)
+
+
+def box_collision(boxes_a, boxes_b):
+    """(N, 5), (K, 5) BEV [x y w l r] -> (N, K) bool or None."""
+    lib = get_lib()
+    if lib is None:
+        return None
+    a = np.ascontiguousarray(boxes_a, np.float32)
+    b = np.ascontiguousarray(boxes_b, np.float32)
+    out = np.empty((a.shape[0], b.shape[0]), np.uint8)
+    lib.box_collision(a, a.shape[0], b, b.shape[0], out)
+    return out.astype(bool)
+
+
+def intersection_area(corners_a, corners_b):
+    """paired (N, 4, 2) x2 -> (N,) float64 or None."""
+    lib = get_lib()
+    if lib is None:
+        return None
+    a = np.ascontiguousarray(corners_a, np.float64)
+    b = np.ascontiguousarray(corners_b, np.float64)
+    out = np.empty((a.shape[0],), np.float64)
+    lib.intersection_area(a, b, a.shape[0], out)
+    return out
