@@ -122,11 +122,18 @@ class TaskHead(nn.Module):
 
     @nn.compact
     def __call__(self, x):
-        box_preds = nn.Conv(self.num_pred, (1, 1), name="conv_box")(x)
-        cls_preds = nn.Conv(self.num_cls, (1, 1), name="conv_cls")(x)
+        # predictions always leave in fp32 (loss/decode numerics), whatever
+        # precision the trunk ran in
+        f32 = jnp.float32
+        box_preds = nn.Conv(self.num_pred, (1, 1), dtype=x.dtype,
+                            name="conv_box")(x).astype(f32)
+        cls_preds = nn.Conv(self.num_cls, (1, 1), dtype=x.dtype,
+                            name="conv_cls")(x).astype(f32)
         ret = {"box_preds": box_preds, "cls_preds": cls_preds}
         if self.use_dir:
-            ret["dir_cls_preds"] = nn.Conv(self.num_dir, (1, 1), name="conv_dir")(x)
+            ret["dir_cls_preds"] = nn.Conv(
+                self.num_dir, (1, 1), dtype=x.dtype,
+                name="conv_dir")(x).astype(f32)
         return ret
 
 

@@ -16,6 +16,7 @@ import jax.numpy as jnp
 from flax import linen as nn
 
 from det3d_tpu.models.norm import build_norm
+from det3d_tpu.models.precision import act_dtype
 from det3d_tpu.models.registry import NECKS
 
 
@@ -29,6 +30,7 @@ class RPN(nn.Module):
     num_input_features: int = 64
     norm_cfg: Optional[dict] = None
     axis_name: Optional[str] = None
+    precision: str = "fp32"
     name_str: str = "rpn"
     logger: Optional[object] = None
 
@@ -40,15 +42,18 @@ class RPN(nn.Module):
         return factor
 
     def _conv_bn_relu(self, x, features, stride, train, prefix):
+        dt = act_dtype(self.precision)
         x = nn.Conv(features, (3, 3), strides=(stride, stride),
-                    padding=((1, 1), (1, 1)), use_bias=False,
+                    padding=((1, 1), (1, 1)), use_bias=False, dtype=dt,
                     name=f"{prefix}_conv")(x)
-        x = build_norm(self.norm_cfg, axis_name=self.axis_name)(
+        x = build_norm(self.norm_cfg, axis_name=self.axis_name, dtype=dt)(
             x, use_running_average=not train)
         return nn.relu(x)
 
     @nn.compact
     def __call__(self, x, train: bool = False):
+        dt = act_dtype(self.precision)
+        x = x.astype(dt)
         us_start = len(self.layer_nums) - len(self.us_layer_strides)
         ups = []
         for i, num_blocks in enumerate(self.layer_nums):
@@ -65,16 +70,16 @@ class RPN(nn.Module):
                 if stride > 1:
                     u = nn.ConvTranspose(
                         self.us_num_filters[k], (stride, stride),
-                        strides=(stride, stride), padding="VALID",
+                        strides=(stride, stride), padding="VALID", dtype=dt,
                         use_bias=False, name=f"deblock{k}_deconv")(x)
                 else:
                     s = int(np.round(1 / stride))
                     u = nn.Conv(
                         self.us_num_filters[k], (s, s), strides=(s, s),
-                        padding="VALID", use_bias=False,
+                        padding="VALID", use_bias=False, dtype=dt,
                         name=f"deblock{k}_conv")(x)
-                u = build_norm(self.norm_cfg, axis_name=self.axis_name)(
-                    u, use_running_average=not train)
+                u = build_norm(self.norm_cfg, axis_name=self.axis_name,
+                               dtype=dt)(u, use_running_average=not train)
                 ups.append(nn.relu(u))
         if ups:
             x = jnp.concatenate(ups, axis=-1)

@@ -20,6 +20,7 @@ import jax.numpy as jnp
 from flax import linen as nn
 
 from det3d_tpu.models.norm import build_norm
+from det3d_tpu.models.precision import act_dtype
 from det3d_tpu.models.registry import READERS
 
 
@@ -54,13 +55,16 @@ class PFNLayer(nn.Module):
     last_layer: bool = False
     norm_cfg: Optional[dict] = None
     axis_name: Optional[str] = None
+    precision: str = "fp32"
 
     @nn.compact
     def __call__(self, x, pillar_mask, train: bool = False):
         # x: (B, V, T, C_in); pillar_mask: (B, V) bool (real pillars)
+        dt = act_dtype(self.precision)
         units = self.units if self.last_layer else self.units // 2
-        x = nn.Dense(units, use_bias=False, name="linear")(x)
-        norm = build_norm(self.norm_cfg, axis_name=self.axis_name)
+        x = nn.Dense(units, use_bias=False, dtype=dt, name="linear")(
+            x.astype(dt))
+        norm = build_norm(self.norm_cfg, axis_name=self.axis_name, dtype=dt)
         mask_bt = jnp.broadcast_to(pillar_mask[..., None], x.shape[:-1])
         x = norm(x, mask=mask_bt, use_running_average=not train)
         x = nn.relu(x)
@@ -82,6 +86,7 @@ class PillarFeatureNet(nn.Module):
     pc_range: Tuple[float, ...] = (0.0, -40.0, -3.0, 70.4, 40.0, 1.0)
     norm_cfg: Optional[dict] = None
     axis_name: Optional[str] = None
+    precision: str = "fp32"
     name_str: str = "PillarFeatureNet"
 
     @nn.compact
@@ -123,8 +128,9 @@ class PillarFeatureNet(nn.Module):
                 last_layer=(i == len(filters) - 1),
                 norm_cfg=self.norm_cfg,
                 axis_name=self.axis_name,
+                precision=self.precision,
                 name=f"pfn_{i}",
             )(features, pillar_mask, train=train)
         out = features.squeeze(2)                            # (B, V, U)
         # empty pillar rows must stay zero for the scatter
-        return out * pillar_mask[..., None].astype(dtype)
+        return out * pillar_mask[..., None].astype(out.dtype)
