@@ -17,6 +17,8 @@ from typing import Optional, Sequence
 
 import numpy as np
 
+import jax.numpy as jnp
+
 from det3d_tpu.core import box_ops
 from det3d_tpu.utils.registry import Registry
 
@@ -180,4 +182,70 @@ def build_box_coder(cfg: dict):
             n_dim=cfg.get("n_dim", 7),
             norm_velo=cfg.get("norm_velo", False),
         )
+    if kind == "bev_box_coder":
+        return BevBoxCoder(
+            linear_dim=cfg.get("linear_dim", False),
+            vec_encode=cfg.get("encode_angle_vector", False),
+            z_fixed=cfg.get("z_fixed", -1.0),
+            h_fixed=cfg.get("h_fixed", 2.0),
+        )
     raise KeyError(f"unknown box coder type {kind}")
+
+
+@BOX_CODERS.register_module(name="bev_box_coder")
+@dataclass
+class BevBoxCoder:
+    """BEV-only coder with fixed z/h. Parity: box_coders.py:100-134 —
+    encodes [x y w l r] against the anchor's BEV view, re-injects the
+    configured z_fixed / h_fixed at decode."""
+    linear_dim: bool = False
+    vec_encode: bool = False
+    z_fixed: float = -1.0
+    h_fixed: float = 2.0
+    n_dim: int = 7
+
+    @property
+    def code_size(self) -> int:
+        return 6 if self.vec_encode else 5
+
+    def encode(self, boxes, anchors):
+        xp = jnp
+        b = boxes[..., [0, 1, 3, 4, boxes.shape[-1] - 1]]
+        a = anchors[..., [0, 1, 3, 4, anchors.shape[-1] - 1]]
+        diag = xp.sqrt(a[..., 2] ** 2 + a[..., 3] ** 2)
+        xt = (b[..., 0] - a[..., 0]) / diag
+        yt = (b[..., 1] - a[..., 1]) / diag
+        if self.linear_dim:
+            wt = b[..., 2] / a[..., 2] - 1
+            lt = b[..., 3] / a[..., 3] - 1
+        else:
+            wt = xp.log(b[..., 2] / a[..., 2])
+            lt = xp.log(b[..., 3] / a[..., 3])
+        if self.vec_encode:
+            rtx = xp.cos(b[..., 4]) - xp.cos(a[..., 4])
+            rty = xp.sin(b[..., 4]) - xp.sin(a[..., 4])
+            return xp.stack([xt, yt, wt, lt, rtx, rty], axis=-1)
+        rt = b[..., 4] - a[..., 4]
+        return xp.stack([xt, yt, wt, lt, rt], axis=-1)
+
+    def decode(self, encodings, anchors):
+        xp = jnp
+        a = anchors[..., [0, 1, 3, 4, anchors.shape[-1] - 1]]
+        diag = xp.sqrt(a[..., 2] ** 2 + a[..., 3] ** 2)
+        x = encodings[..., 0] * diag + a[..., 0]
+        y = encodings[..., 1] * diag + a[..., 1]
+        if self.linear_dim:
+            w = (encodings[..., 2] + 1) * a[..., 2]
+            l = (encodings[..., 3] + 1) * a[..., 3]
+        else:
+            w = xp.exp(encodings[..., 2]) * a[..., 2]
+            l = xp.exp(encodings[..., 3]) * a[..., 3]
+        if self.vec_encode:
+            rx = encodings[..., 4] + xp.cos(a[..., 4])
+            ry = encodings[..., 5] + xp.sin(a[..., 4])
+            r = xp.arctan2(ry, rx)
+        else:
+            r = encodings[..., 4] + a[..., 4]
+        z = xp.full_like(x, self.z_fixed)
+        h = xp.full_like(x, self.h_fixed)
+        return xp.stack([x, y, z, w, l, h, r], axis=-1)

@@ -438,3 +438,61 @@ def get_official_eval_result(gt_annos, dt_annos, current_classes):
                 if compute_aos:
                     result_dict[f"{name}_aos_{dn}{tag}"] = mAP_aos[j, d, i]
     return out.getvalue(), result_dict
+
+
+def get_coco_eval_result(gt_annos, dt_annos, current_classes):
+    """COCO-style AP averaged over an overlap range (eval.py:754-828):
+    Car/Van over IoU 0.5:0.05:0.95, Pedestrian/Cyclist 0.25:0.05:0.70,
+    reported for bbox/bev/3d (+aos) at easy/moderate/hard."""
+    class_to_range = {
+        "car": [0.5, 0.95, 10], "pedestrian": [0.25, 0.7, 10],
+        "cyclist": [0.25, 0.7, 10], "van": [0.5, 0.95, 10],
+        "person_sitting": [0.25, 0.7, 10],
+    }
+    name_to_class = {}
+    for i, n in enumerate(CLASS_NAMES):
+        name_to_class.setdefault(n.lower(), i)
+    if not isinstance(current_classes, (list, tuple)):
+        current_classes = [current_classes]
+    current_classes = [
+        name_to_class[c.lower()] if isinstance(c, str) else int(c)
+        for c in current_classes]
+
+    # (num_overlap, metric, class) threshold grid
+    n_cls = len(current_classes)
+    thresholds = np.zeros([10, 3, n_cls])
+    for i, curcls in enumerate(current_classes):
+        lo, hi, n = class_to_range.get(
+            CLASS_NAMES[curcls].lower(), [0.5, 0.95, 10])
+        t = np.linspace(lo, hi, int(n))
+        thresholds[:, :, i] = t[:, None]
+
+    compute_aos = any(
+        anno["alpha"].shape[0] > 0 and anno["alpha"][0] != -10
+        for anno in dt_annos)
+    difficultys = [0, 1, 2]
+    maps = {}
+    for metric, key in ((0, "bbox"), (1, "bev"), (2, "3d")):
+        ret = eval_class(gt_annos, dt_annos, current_classes, difficultys,
+                         metric, thresholds,
+                         compute_aos=(compute_aos and metric == 0))
+        # mean over the overlap-range axis then 11-pt AP
+        maps[key] = get_mAP(ret["precision"]).mean(axis=-1)
+        if metric == 0 and compute_aos:
+            maps["aos"] = get_mAP(ret["orientation"]).mean(axis=-1)
+
+    out = io.StringIO()
+    result_dict = {}
+    for j, curcls in enumerate(current_classes):
+        name = CLASS_NAMES[curcls]
+        lo, hi, _ = class_to_range.get(name.lower(), [0.5, 0.95, 10])
+        print(f"{name} coco AP@{lo:.2f}:0.05:{hi:.2f}:", file=out)
+        for key in ("bbox", "bev", "3d"):
+            print("{} AP:{:.2f}, {:.2f}, {:.2f}".format(
+                key, *maps[key][j]), file=out)
+            for d, dn in enumerate(("easy", "moderate", "hard")):
+                result_dict[f"{name}_{key}_coco_{dn}"] = maps[key][j, d]
+        if "aos" in maps:
+            print("aos AP:{:.2f}, {:.2f}, {:.2f}".format(
+                *maps["aos"][j]), file=out)
+    return out.getvalue(), result_dict

@@ -15,7 +15,8 @@ import numpy as np
 from det3d_tpu.core import box_np
 from det3d_tpu.datasets.custom import PointCloudDataset
 from det3d_tpu.datasets.kitti import kitti_common
-from det3d_tpu.datasets.kitti.eval import get_official_eval_result
+from det3d_tpu.datasets.kitti.eval import (get_coco_eval_result,
+                                            get_official_eval_result)
 from det3d_tpu.datasets.registry import DATASETS
 
 
@@ -126,17 +127,19 @@ class KittiDataset(PointCloudDataset):
         return annos
 
     def evaluation(self, detections, output_dir=None):
-        """Parity: kitti.py:160-194 (official eval; COCO-style AP is not
-        implemented — tracked in README)."""
+        """Parity: kitti.py:160-194 — official 11-pt AP + COCO-style AP."""
         gt_annos = self.ground_truth_annotations
         dt_annos = self.convert_detection_to_kitti_annos(detections)
         result_str, result_dict = get_official_eval_result(
             gt_annos, dt_annos, self._class_names)
+        coco_str, coco_dict = get_coco_eval_result(
+            gt_annos, dt_annos, self._class_names)
         if output_dir is not None:
             out = Path(output_dir)
             out.mkdir(parents=True, exist_ok=True)
-            (out / "kitti_eval.txt").write_text(result_str)
+            (out / "kitti_eval.txt").write_text(result_str + "\n" + coco_str)
         return {
-            "results": {"official": result_str},
-            "detail": {"eval.kitti": {"official": result_dict}},
+            "results": {"official": result_str, "coco": coco_str},
+            "detail": {"eval.kitti": {"official": result_dict,
+                                      "coco": coco_dict}},
         }, dt_annos

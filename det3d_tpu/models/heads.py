@@ -284,6 +284,7 @@ class MultiGroupHead(nn.Module):
         """
         nms_cfg = test_cfg["nms"] if isinstance(test_cfg, dict) else test_cfg.nms
         use_rotate = nms_cfg["use_rotate_nms"]
+        use_multi_class = nms_cfg.get("use_multi_class_nms", False)
         pre_max = int(nms_cfg["nms_pre_max_size"])
         post_max = int(nms_cfg["nms_post_max_size"])
         iou_th = float(nms_cfg["nms_iou_threshold"])
@@ -307,22 +308,43 @@ class MultiGroupHead(nn.Module):
                 dir_labels = jnp.zeros(cls_preds.shape[:2], jnp.int32)
 
             total_scores = jax.nn.sigmoid(cls_preds)
-            if num_class == 1:
-                top_scores = total_scores[..., 0]
-                top_labels = jnp.zeros_like(top_scores, dtype=jnp.int32)
+            if use_multi_class and num_class > 1:
+                # per-class NMS (reference box_torch_ops.multiclass_nms via
+                # get_task_detections): run the class-agnostic path once per
+                # class and concatenate the fixed-size results
+                per_cls_scores = jnp.where(
+                    total_scores >= score_threshold, total_scores, -1.0)
+                top_scores = jnp.concatenate(
+                    [per_cls_scores[..., c] for c in range(num_class)],
+                    axis=1)
+                top_labels = jnp.concatenate(
+                    [jnp.full(per_cls_scores.shape[:2], c, jnp.int32)
+                     for c in range(num_class)], axis=1)
+                reg = jnp.tile(reg, (1, num_class, 1))
+                dir_labels = jnp.tile(dir_labels, (1, num_class))
+                nms_scores = top_scores
+                # batched-NMS trick: shift each class to its own far-away
+                # region so one NMS pass cannot suppress across classes
+                nms_xy_offset = (top_labels.astype(jnp.float32)
+                                 * 1e4)[..., None]
             else:
-                top_scores = jnp.max(total_scores, axis=-1)
-                top_labels = jnp.argmax(total_scores, axis=-1).astype(jnp.int32)
+                if num_class == 1:
+                    top_scores = total_scores[..., 0]
+                    top_labels = jnp.zeros_like(top_scores, dtype=jnp.int32)
+                else:
+                    top_scores = jnp.max(total_scores, axis=-1)
+                    top_labels = jnp.argmax(
+                        total_scores, axis=-1).astype(jnp.int32)
+                keep_thresh = top_scores >= score_threshold
+                nms_scores = jnp.where(keep_thresh, top_scores, -1.0)
 
-            keep_thresh = top_scores >= score_threshold
-            nms_scores = jnp.where(keep_thresh, top_scores, -1.0)
-
-            def per_sample(reg_b, scores_b, labels_b, dir_b):
+            def per_sample(reg_b, scores_b, labels_b, dir_b, off_b):
+                reg_nms = reg_b.at[:, 0].add(off_b[:, 0])
                 if use_rotate:
-                    boxes_for_nms = reg_b[:, [0, 1, 3, 4, -1]]
+                    boxes_for_nms = reg_nms[:, [0, 1, 3, 4, -1]]
                 else:
                     corners = box_ops.center_to_corner_box2d(
-                        reg_b[:, :2], reg_b[:, 3:5], reg_b[:, -1])
+                        reg_nms[:, :2], reg_nms[:, 3:5], reg_nms[:, -1])
                     boxes_for_nms = box_ops.corner_to_standup_nd(corners)
                 idx, valid = nms_ops.nms(
                     boxes_for_nms, scores_b, pre_max_size=pre_max,
@@ -346,8 +368,12 @@ class MultiGroupHead(nn.Module):
                     valid = valid & inside
                 return sel_boxes, sel_scores, sel_labels, valid
 
+            if use_multi_class and num_class > 1:
+                offsets = nms_xy_offset
+            else:
+                offsets = jnp.zeros(reg.shape[:2] + (1,), reg.dtype)
             b, s, l, v = jax.vmap(per_sample)(reg, nms_scores, top_labels,
-                                              dir_labels)
+                                              dir_labels, offsets)
             boxes_all.append(b)
             scores_all.append(s)
             labels_all.append(jnp.where(v, l + label_offset, 0))

@@ -134,3 +134,79 @@ class PillarFeatureNet(nn.Module):
         out = features.squeeze(2)                            # (B, V, U)
         # empty pillar rows must stay zero for the scatter
         return out * pillar_mask[..., None].astype(out.dtype)
+
+
+class VFELayer(nn.Module):
+    """Original VoxelNet VFE layer: linear+BN+ReLU per point, per-voxel max,
+    concat pointwise with the aggregated max. Parity: voxel_encoder.py:14-42
+    (the reference BN runs over all point slots of all voxels; we mask to
+    real voxel rows like the rest of this codebase's masked BN usage)."""
+    out_channels: int
+    norm_cfg: Optional[dict] = None
+    axis_name: Optional[str] = None
+    precision: str = "fp32"
+
+    @nn.compact
+    def __call__(self, x, voxel_mask, train: bool = False):
+        # x: (B, V, T, C); voxel_mask: (B, V) real voxels
+        dt = act_dtype(self.precision)
+        units = self.out_channels // 2
+        x = nn.Dense(units, use_bias=False, dtype=dt, name="linear")(
+            x.astype(dt))
+        mask_bt = jnp.broadcast_to(voxel_mask[..., None], x.shape[:-1])
+        x = build_norm(self.norm_cfg, axis_name=self.axis_name, dtype=dt)(
+            x, mask=mask_bt, use_running_average=not train)
+        pointwise = nn.relu(x)                               # (B, V, T, U)
+        aggregated = jnp.max(pointwise, axis=2, keepdims=True)
+        repeated = jnp.broadcast_to(aggregated, pointwise.shape)
+        return jnp.concatenate([pointwise, repeated], axis=-1)
+
+
+@READERS.register_module
+class VoxelFeatureExtractor(nn.Module):
+    """Original VoxelNet VFE: decorate with cluster-mean offsets, two
+    VFELayers with padding-mask zeroing, final linear+BN, per-voxel max.
+    Parity: voxel_encoder.py:46-176."""
+    num_input_features: int = 4
+    num_filters: Sequence[int] = (32, 128)
+    with_distance: bool = False
+    norm_cfg: Optional[dict] = None
+    axis_name: Optional[str] = None
+    precision: str = "fp32"
+    name_str: str = "VoxelFeatureExtractor"
+
+    @nn.compact
+    def __call__(self, voxels, num_points, coors=None, train: bool = False):
+        assert len(self.num_filters) == 2
+        dtype = voxels.dtype
+        t = voxels.shape[2]
+        denom = jnp.maximum(num_points, 1).astype(dtype)[..., None, None]
+        mask = paddings_indicator(num_points, t)             # (B, V, T)
+        maskf = mask[..., None].astype(dtype)
+
+        points_mean = (voxels[..., :3] * maskf).sum(
+            axis=2, keepdims=True) / denom
+        rel = voxels[..., :3] - points_mean
+        feats = [voxels, rel]
+        if self.with_distance:
+            feats.append(jnp.linalg.norm(voxels[..., :3], axis=-1,
+                                         keepdims=True))
+        x = jnp.concatenate(feats, axis=-1) * maskf
+
+        voxel_mask = num_points > 0
+        x = VFELayer(self.num_filters[0], self.norm_cfg, self.axis_name,
+                     self.precision, name="vfe1")(x, voxel_mask, train)
+        x = x * maskf.astype(x.dtype)
+        x = VFELayer(self.num_filters[1], self.norm_cfg, self.axis_name,
+                     self.precision, name="vfe2")(x, voxel_mask, train)
+        x = x * maskf.astype(x.dtype)
+        dt = act_dtype(self.precision)
+        x = nn.Dense(self.num_filters[1], use_bias=False, dtype=dt,
+                     name="linear")(x)
+        mask_bt = jnp.broadcast_to(voxel_mask[..., None], x.shape[:-1])
+        x = build_norm(self.norm_cfg, axis_name=self.axis_name, dtype=dt)(
+            x, mask=mask_bt, use_running_average=not train)
+        x = nn.relu(x)
+        out = jnp.max(x, axis=2)                             # (B, V, U)
+        return (out * voxel_mask[..., None].astype(out.dtype)).astype(
+            jnp.float32)

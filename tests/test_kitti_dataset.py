@@ -202,6 +202,9 @@ def test_eval_perfect_predictions(kitti_root):
     assert detail["Car_3d_easy"] > 99.0, detail
     assert detail["Car_bev_easy"] > 99.0
     assert detail["Car_bbox_easy"] > 99.0
+    # perfect boxes also max out the COCO-style range AP
+    coco = results["detail"]["eval.kitti"]["coco"]
+    assert coco["Car_3d_coco_easy"] > 99.0, coco
 
     # empty predictions -> AP 0
     empty = {str(s): {"box3d_lidar": np.zeros((0, 7), np.float32),

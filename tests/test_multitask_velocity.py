@@ -185,3 +185,51 @@ def test_velocity_coder_roundtrip(rng):
                        jnp.asarray(anchors, jnp.float32))
     dec = coder.decode(enc, jnp.asarray(anchors, jnp.float32))
     np.testing.assert_allclose(np.asarray(dec), boxes, rtol=1e-4, atol=1e-4)
+
+
+def test_multiclass_nms_no_cross_suppression(stack, rng):
+    """use_multi_class_nms=True: overlapping boxes of DIFFERENT classes in
+    the same task both survive, and per-class duplicates are suppressed."""
+    import jax.numpy as jnp
+    from det3d_tpu.models.heads import MultiGroupHead
+    model, voxel_gen, assigners, class_ids, test_cfg = stack
+    head = model.bbox_head
+    a = assigners[1].anchors_flat                        # ped+bicycle task
+    n = a.shape[0]
+
+    # synthetic task preds: encode two coincident gt boxes (one per class)
+    # at the anchor nearest (0, 0)
+    dists = np.linalg.norm(a[:, :2], axis=1)
+    i0 = int(np.argmin(dists + (np.arange(n) % 2)))      # rotation-0 anchor
+    box_preds = np.zeros((1, n, 10), np.float32)         # zero offsets
+    cls_preds = np.full((1, n, 2), -10.0, np.float32)
+    cls_preds[0, i0, 0] = 6.0                            # pedestrian
+    cls_preds[0, i0, 1] = 5.0                            # bicycle same spot
+    cls_preds[0, i0 + 1, 0] = 4.0                        # overlapping ped
+    dir_preds = np.zeros((1, n, 2), np.float32)
+
+    fm = (1, 80, 80)
+    num_a = 4  # 2 sizes? no: 2 gens x 2 rot = 4 per loc
+    preds = [
+        {"box_preds": jnp.zeros((1, 80, 80, 2 * 10), jnp.float32),
+         "cls_preds": jnp.full((1, 80, 80, 2), -10.0, jnp.float32),
+         "dir_cls_preds": jnp.zeros((1, 80, 80, 4), jnp.float32)},
+        {"box_preds": jnp.asarray(box_preds.reshape(1, 80, 80, -1)),
+         "cls_preds": jnp.asarray(cls_preds.reshape(1, 80, 80, -1)),
+         "dir_cls_preds": jnp.asarray(dir_preds.reshape(1, 80, 80, -1))},
+    ]
+    example = {"anchors": [
+        jnp.asarray(assigners[0].anchors_flat)[None],
+        jnp.asarray(assigners[1].anchors_flat)[None]]}
+    cfg = dict(test_cfg)
+    cfg["nms"] = dict(test_cfg["nms"], use_multi_class_nms=True)
+    out = head.predict(example, preds, cfg)
+    valid = np.asarray(out["valid"][0])
+    labels = np.asarray(out["label_preds"][0])[valid]
+    scores = np.asarray(out["scores"][0])[valid]
+    # both classes kept (no cross-class suppression); global label ids:
+    # car=0 (task 0), pedestrian=1, bicycle=2 (task 1 offsets)
+    assert set(labels.tolist()) == {1, 2}, labels
+    # ...and the weaker same-class duplicate was suppressed
+    assert (labels == 1).sum() == 1, (labels, scores)
+    assert (labels == 2).sum() == 1
