@@ -178,12 +178,17 @@ def eval_detector(cfg, state, work_dir: Optional[str] = None,
     ds = build_dataset(data_cfg[split])
     batch_size = data_cfg.get("samples_per_gpu", 2)
 
+    # multi-host: each process predicts a contiguous shard, detections are
+    # gathered to every host before evaluation (reference dist_test.py:214)
+    n_proc = jax.process_count()
+    proc = jax.process_index()
+    shard = list(range(len(ds)))[proc::n_proc] if n_proc > 1 else         list(range(len(ds)))
+
     def batches():
         # fixed batch shape: pad the tail chunk by repeating its last
         # example (duplicate tokens just overwrite in the detections dict)
-        for i in range(0, len(ds), batch_size):
-            examples = [ds[j]
-                        for j in range(i, min(i + batch_size, len(ds)))]
+        for i in range(0, len(shard), batch_size):
+            examples = [ds[j] for j in shard[i:i + batch_size]]
             while len(examples) < batch_size:
                 examples.append(examples[-1])
             yield collate(examples)
@@ -211,5 +216,9 @@ def eval_detector(cfg, state, work_dir: Optional[str] = None,
         mid = times[len(times) // 3: 2 * len(times) // 3]
         per_frame = float(np.mean(mid)) / batch_size
         print(f"Total time per frame: {per_frame * 1e3:.1f} ms")
+    if n_proc > 1:
+        from det3d_tpu.parallel.dist_utils import all_gather_objects
+        for d in all_gather_objects(detections):
+            detections.update(d)
     results, dt_annos = ds.evaluation(detections, work_dir)
     return results, detections

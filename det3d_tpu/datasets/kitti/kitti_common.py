@@ -256,3 +256,43 @@ def create_kitti_info_file(data_path, save_path=None):
             va = pickle.load(f)
         with open(save_path / "kitti_infos_trainval.pkl", "wb") as f:
             pickle.dump(tr + va, f)
+
+
+def remove_outside_points(points, rect, Trv2c, P2, image_shape):
+    """Keep lidar points whose projection lands inside the image.
+
+    Parity: box_np_ops.remove_outside_points (:941-952) — the reference
+    clips by the camera frustum polytope; projecting and bounds-checking
+    (with a positive-depth gate) selects the same set for pinhole P2.
+    """
+    pts_cam = box_np.lidar_to_camera(points[:, :3], rect, Trv2c)
+    depth = pts_cam[:, 2]
+    uv = box_np.project_to_image(pts_cam, P2)
+    h, w = int(image_shape[0]), int(image_shape[1])
+    keep = ((depth > 1e-3) & (uv[:, 0] >= 0) & (uv[:, 0] < w)
+            & (uv[:, 1] >= 0) & (uv[:, 1] < h))
+    return points[keep]
+
+
+def create_reduced_point_cloud(data_path, info_path, save_path=None):
+    """Write ``velodyne_reduced/*.bin`` crops of the camera frustum.
+
+    Parity: kitti_common.create_reduced_point_cloud — the loader prefers
+    the reduced clouds when present (pipelines/loading.py:85-91 there,
+    datasets/pipelines/loading.py here).
+    """
+    with open(info_path, "rb") as f:
+        infos = pickle.load(f)
+    root = Path(data_path)
+    for info in infos:
+        velo = root / info["point_cloud"]["velodyne_path"]
+        out_dir = Path(save_path) if save_path else (
+            velo.parent.parent / (velo.parent.stem + "_reduced"))
+        out_dir.mkdir(parents=True, exist_ok=True)
+        points = np.fromfile(str(velo), np.float32).reshape(
+            -1, info["point_cloud"].get("num_features", 4))
+        calib = info["calib"]
+        reduced = remove_outside_points(
+            points, calib["R0_rect"], calib["Tr_velo_to_cam"], calib["P2"],
+            info["image"]["image_shape"])
+        reduced.astype(np.float32).tofile(out_dir / velo.name)

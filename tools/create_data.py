@@ -15,10 +15,15 @@ sys.path.insert(0, str(Path(__file__).resolve().parents[1]))
 
 
 def kitti_data_prep(root_path):
-    from det3d_tpu.datasets.kitti.kitti_common import create_kitti_info_file
+    from det3d_tpu.datasets.kitti.kitti_common import (
+        create_kitti_info_file, create_reduced_point_cloud)
     from det3d_tpu.datasets.utils.create_gt_database import (
         create_groundtruth_database)
     create_kitti_info_file(root_path)
+    for split in ("train", "val", "test"):
+        info = Path(root_path) / f"kitti_infos_{split}.pkl"
+        if info.exists():
+            create_reduced_point_cloud(root_path, str(info))
     create_groundtruth_database(
         "KittiDataset", root_path,
         str(Path(root_path) / "kitti_infos_train.pkl"))
