@@ -81,7 +81,9 @@ def init_state(cfg, model, voxel_gen, sample_batch, total_steps,
                rng_seed=0):
     example = build_example(sample_batch, voxel_gen, [], [],
                             with_targets=False)
-    variables = model.init(
+    # jit the init: eager tracing dispatches thousands of tiny ops (minutes
+    # over a remote TPU); compiled it is one program
+    variables = jax.jit(model.init, static_argnames=("train",))(
         jax.random.PRNGKey(rng_seed), example["voxels"],
         example["num_points_per_voxel"], example["coordinates"], train=False)
     lr_fn, mom_fn = build_lr_schedule(cfg["lr_config"], total_steps)
