@@ -85,6 +85,30 @@ class DataLoader:
     def __len__(self):
         return len(self._index_batches())
 
+    def _ensure_workers(self):
+        """Persistent fork workers: spawned once, fed tasks each epoch.
+        Respawning per epoch costs ~0.5 s of first-batch latency, which
+        dominates short epochs and stalls the device between epochs."""
+        if getattr(self, "_workers", None):
+            return
+        ctx = mp.get_context("fork")
+        self._task_q = ctx.Queue()
+        self._result_q = ctx.Queue(maxsize=max(4, self.num_workers * 2))
+        self._workers = []
+        for w in range(self.num_workers):
+            p = ctx.Process(
+                target=_worker_loop,
+                args=(self.dataset, self._task_q, self._result_q,
+                      self.seed * 1000 + w),
+                daemon=True)
+            p.start()
+            self._workers.append(p)
+
+    def close(self):
+        for p in getattr(self, "_workers", []) or []:
+            p.terminate()
+        self._workers = []
+
     def __iter__(self):
         batches = self._index_batches()
         if self.num_workers == 0:
@@ -92,38 +116,26 @@ class DataLoader:
                 yield collate([self.dataset[i] for i in idxs])
             return
 
-        ctx = mp.get_context("fork")
-        task_q = ctx.Queue()
-        result_q = ctx.Queue(maxsize=self.num_workers * 2)
-        workers = []
-        for w in range(self.num_workers):
-            p = ctx.Process(
-                target=_worker_loop,
-                args=(self.dataset, task_q, result_q,
-                      self.seed + self.epoch * 1000 + w),
-                daemon=True)
-            p.start()
-            workers.append(p)
-        try:
-            for bid, idxs in enumerate(batches):
-                task_q.put((bid, idxs))
-            for _ in range(self.num_workers):
-                task_q.put(None)
-            pending: Dict[int, Any] = {}
-            next_id = 0
-            received = 0
-            while received < len(batches):
-                bid, batch, err = result_q.get()
-                if err is not None:
-                    raise RuntimeError(f"dataloader worker failed:\n{err}")
-                received += 1
-                pending[bid] = batch
-                while next_id in pending:
-                    yield pending.pop(next_id)
-                    next_id += 1
-        finally:
-            for p in workers:
-                p.terminate()
+        self._ensure_workers()
+        # epoch-scoped batch ids so stale results (from an interrupted
+        # previous epoch) are recognized and dropped
+        base = self.epoch * 1_000_000
+        for bid, idxs in enumerate(batches):
+            self._task_q.put((base + bid, idxs))
+        pending: Dict[int, Any] = {}
+        next_id = base
+        received = 0
+        while received < len(batches):
+            bid, batch, err = self._result_q.get()
+            if err is not None:
+                raise RuntimeError(f"dataloader worker failed:\n{err}")
+            if bid < base:
+                continue                      # stale from a prior epoch
+            received += 1
+            pending[bid] = batch
+            while next_id in pending:
+                yield pending.pop(next_id)
+                next_id += 1
 
 
 def build_dataloader(dataset, batch_size, workers_per_gpu=0, dist=False,

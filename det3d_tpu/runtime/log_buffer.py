@@ -30,10 +30,15 @@ class LogBuffer:
             self.n_history.setdefault(key, []).append(count)
 
     def average(self, n: int = 0):
-        """Average the latest n values, or all if n == 0."""
+        """Average the latest n values, or all if n == 0.
+
+        Values may be device arrays: conversion happens HERE (once per log
+        interval) rather than per iteration, so the train loop never blocks
+        on a device->host readback between logs."""
         for key in self.val_history:
-            values = np.asarray(self.val_history[key][-n:] if n else
-                                self.val_history[key], np.float64)
+            values = np.asarray([float(v) for v in (
+                self.val_history[key][-n:] if n else
+                self.val_history[key])], np.float64)
             nums = np.asarray(self.n_history[key][-n:] if n else
                               self.n_history[key], np.float64)
             self.output[key] = float((values * nums).sum() / nums.sum())

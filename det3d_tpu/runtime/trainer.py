@@ -175,13 +175,9 @@ class Trainer:
         self.call_hook("after_val_epoch")
 
     def _log_metrics(self, metrics: Dict[str, Any]) -> None:
-        host = {}
-        for k, v in metrics.items():
-            try:
-                host[k] = float(np.asarray(v))
-            except Exception:
-                pass
-        self.log_buffer.update(host)
+        # keep metrics as (async) device scalars; LogBuffer converts at
+        # logging time, so the hot loop stays dispatch-ahead of the device
+        self.log_buffer.update(dict(metrics))
 
     def run(self, data_loaders: Sequence, workflow: Sequence[Tuple[str, int]],
             max_epochs: int) -> None:
