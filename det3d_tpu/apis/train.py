@@ -11,7 +11,7 @@ here; the mesh is the distribution strategy.
 from __future__ import annotations
 
 import logging
-from typing import Any, Dict, List, Optional, Sequence
+from typing import Any, Dict, List, Optional
 
 import numpy as np
 
@@ -103,7 +103,13 @@ def train_detector(cfg, work_dir: Optional[str] = None,
     train_ds = build_dataset(data_cfg["train"])
     samples_per_gpu = data_cfg.get("samples_per_gpu", 2)
     n_dev = len(jax.devices())
-    batch_size = samples_per_gpu * n_dev
+    # reference semantics: per-device batch times device count. Set
+    # scale_batch_by_devices=False to pin the GLOBAL batch to
+    # samples_per_gpu (exact step-count parity with a reference run).
+    if cfg.get("scale_batch_by_devices", True):
+        batch_size = samples_per_gpu * n_dev
+    else:
+        batch_size = samples_per_gpu
     loader = build_dataloader(
         train_ds, batch_size,
         workers_per_gpu=data_cfg.get("workers_per_gpu", 0),
@@ -116,7 +122,9 @@ def train_detector(cfg, work_dir: Optional[str] = None,
     state, lr_fn = init_state(cfg, model, voxel_gen, first, total_steps,
                               rng_seed=seed)
 
-    mesh = make_mesh() if use_mesh and n_dev > 1 else None
+    mesh = (make_mesh()
+            if use_mesh and n_dev > 1 and batch_size % n_dev == 0
+            else None)
     train_step_raw = make_train_step(model, voxel_gen, assigners, class_ids,
                                      mesh=mesh)
 

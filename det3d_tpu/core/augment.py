@@ -12,8 +12,6 @@ det3d_tpu.core.box_ops (corner = R(-theta) @ local + center).
 
 from __future__ import annotations
 
-from typing import Optional, Sequence
-
 import numpy as np
 
 from det3d_tpu import csrc

@@ -4,10 +4,12 @@ One kernel replaces the reference's four separate native rotated-IoU
 implementations (reference: det3d/ops/nms/nms_gpu.py:500 ``rotate_iou_kernel``,
 det3d/ops/iou3d/src/iou3d_kernel.cu, det3d/ops/box2d_iou_rotated/src,
 det3d/datasets/utils/kitti_object_eval_python/rotate_iou.py:249
-``rotate_iou_gpu_eval``). Algorithm: candidate intersection points =
-{vertices of A inside B} ∪ {vertices of B inside A} ∪ {edge-edge crossings},
-angle-sorted around their centroid, shoelace area. All shapes are static; the
-whole pairwise matrix computes as one fused XLA program (no scalar loops).
+``rotate_iou_gpu_eval``). Algorithm: sort-free Liang-Barsky edge clipping —
+the boundary of A∩B is (∂A∩B) ∪ (∂B∩A) and the shoelace integral is additive
+over directed segments in any order, so each edge's clipped contribution is
+accumulated directly, in structure-of-arrays layout (pair dims stay in the
+TPU lane dimension). All shapes static; one fused XLA program, no scalar
+loops, no sorts, no gathers. See docs/DESIGN_NOTES.md §2.
 
 Boxes are BEV rotated rectangles ``[cx, cy, w, l, angle]`` with the lidar
 angle convention shared with :mod:`det3d_tpu.core.box_ops`.
@@ -37,52 +39,6 @@ def _cross2(o, a, b):
     return (a[..., 0] - o[..., 0]) * (b[..., 1] - o[..., 1]) - (
         a[..., 1] - o[..., 1]) * (b[..., 0] - o[..., 0])
 
-
-def _points_in_quad(points, quad):
-    """points: (..., P, 2), quad: (..., 4, 2) convex, any winding -> (..., P) bool."""
-    # signed area sign fixes the winding
-    area2 = (
-        _cross2(quad[..., 0, :], quad[..., 1, :], quad[..., 2, :])
-        + _cross2(quad[..., 0, :], quad[..., 2, :], quad[..., 3, :])
-    )
-    sign = jnp.where(area2 >= 0, 1.0, -1.0)[..., None]  # (..., 1)
-    inside = None
-    for i in range(4):
-        a = quad[..., i, :][..., None, :]            # (..., 1, 2)
-        b = quad[..., (i + 1) % 4, :][..., None, :]
-        s = _cross2(a, b, points) * sign             # (..., P)
-        ok = s >= -_EPS
-        inside = ok if inside is None else (inside & ok)
-    return inside
-
-
-def _segment_intersections(ca, cb):
-    """All 16 edge-edge crossing points between two quads.
-
-    ca, cb: (..., 4, 2). Returns pts (..., 16, 2), valid (..., 16).
-    """
-    p1 = ca[..., :, None, :]                       # (..., 4, 1, 2)
-    p2 = jnp.roll(ca, -1, axis=-2)[..., :, None, :]
-    q1 = cb[..., None, :, :]                       # (..., 1, 4, 2)
-    q2 = jnp.roll(cb, -1, axis=-2)[..., None, :, :]
-
-    r = p2 - p1                                    # (..., 4, 1, 2)
-    s = q2 - q1                                    # (..., 1, 4, 2)
-    denom = r[..., 0] * s[..., 1] - r[..., 1] * s[..., 0]   # (..., 4, 4)
-    qp = q1 - p1
-    t_num = qp[..., 0] * s[..., 1] - qp[..., 1] * s[..., 0]
-    u_num = qp[..., 0] * r[..., 1] - qp[..., 1] * r[..., 0]
-    safe = jnp.where(jnp.abs(denom) > _EPS, denom, 1.0)
-    t = t_num / safe
-    u = u_num / safe
-    valid = (
-        (jnp.abs(denom) > _EPS)
-        & (t >= -_EPS) & (t <= 1.0 + _EPS)
-        & (u >= -_EPS) & (u <= 1.0 + _EPS)
-    )
-    pts = p1 + t[..., None] * r                     # (..., 4, 4, 2)
-    shape = pts.shape[:-3] + (16, 2)
-    return pts.reshape(shape), valid.reshape(valid.shape[:-2] + (16,))
 
 
 def _ccw(corners):

@@ -17,11 +17,11 @@ whole dataset per score threshold; we do the same fused accumulation).
 from __future__ import annotations
 
 import io
-from typing import Dict, List
+from typing import List
 
 import numpy as np
 
-from det3d_tpu.core import augment, box_np
+from det3d_tpu.core import augment
 
 CLASS_NAMES = ["Car", "Pedestrian", "Cyclist", "Van", "Person_sitting",
                "car", "tractor", "trailer"]

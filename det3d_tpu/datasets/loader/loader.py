@@ -14,7 +14,6 @@ preserved. num_workers=0 runs synchronously in-process (tests, debugging).
 from __future__ import annotations
 
 import multiprocessing as mp
-import queue as queue_mod
 from typing import Any, Dict, List, Optional
 
 import numpy as np

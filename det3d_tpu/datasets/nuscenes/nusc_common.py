@@ -20,12 +20,11 @@ import json
 import pickle
 from functools import reduce
 from pathlib import Path
-from typing import Dict, List, Optional
+from typing import Dict, Optional
 
 import numpy as np
 
 from det3d_tpu.datasets.nuscenes.tables import (NuScenesTables,
-                                                quaternion_yaw, quat_to_rotmat,
                                                 transform_matrix)
 
 general_to_detection = {

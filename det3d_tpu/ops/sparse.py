@@ -27,8 +27,7 @@ All shapes static; everything composes under jit/vmap/grad.
 
 from __future__ import annotations
 
-from functools import partial
-from typing import Sequence, Tuple
+from typing import Tuple
 
 import numpy as np
 

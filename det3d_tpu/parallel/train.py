@@ -23,7 +23,7 @@ reduction and BatchNorm statistics are global automatically (= DDP + SyncBN).
 from __future__ import annotations
 
 import functools
-from typing import Any, Callable, Dict, List, Optional, Sequence
+from typing import Any, Callable, Dict, Optional, Sequence
 
 import numpy as np
 

@@ -1,0 +1,36 @@
+"""End-to-end learning-quality gate on the synthetic mini-KITTI.
+
+Trains the small PointPillars config through the full stack (GT-AUG paste
+augmentation, per-object noise, global transforms, on-device voxelize +
+targets, jitted mesh step) and requires real detection quality on the
+held-out split under the OFFICIAL evaluator. Reference-quality anchor: the
+same recipe at 150 epochs reaches 3D AP@0.5 ~ 81 (see docs); the gate is
+set well below to absorb seed variance.
+"""
+
+import numpy as np
+import pytest
+
+from tests import mini_kitti as mk
+
+
+@pytest.mark.slow
+def test_trains_to_detection_quality(tmp_path_factory):
+    root = tmp_path_factory.mktemp("learn_kitti")
+    mk.make_tree(root, n_scenes=16)
+    cfg = mk.mini_config(str(root), total_epochs=150, workers=2)
+    cfg["checkpoint_interval"] = 150
+    cfg["log_interval"] = 100
+    # pin global batch to 2 (not 2 x 8 virtual devices): the gate anchors
+    # to the 600-gradient-step recipe, not to examples seen
+    cfg["scale_batch_by_devices"] = False
+
+    from det3d_tpu.apis import eval_detector, train_detector
+    work = tmp_path_factory.mktemp("learn_work")
+    trainer = train_detector(cfg, work_dir=str(work))
+    results, dets = eval_detector(cfg, trainer.state, work_dir=str(work))
+    detail = results["detail"]["eval.kitti"]["official"]
+    # loose-overlap 3D AP (IoU 0.5): the model must genuinely detect
+    assert detail["Car_3d_easy_loose"] > 40.0, detail
+    # and the strict bbox AP shows localization, not box spam
+    assert detail["Car_bbox_easy"] > 40.0, detail
