@@ -217,3 +217,38 @@ class TensorboardLoggerHook(Hook):
     def after_run(self, trainer):
         if self.writer is not None:
             self.writer.close()
+
+
+class ProfilerHook(Hook):
+    """Capture a jax.profiler trace for a window of train iterations.
+
+    Parity role: the reference's inline timing probes + tensorboard traces
+    (SURVEY 5.1); produces a TensorBoard-viewable trace under
+    ``work_dir/profile``. Profiles iterations [start, start+steps)."""
+
+    def __init__(self, start: int = 10, steps: int = 5,
+                 log_dir: Optional[str] = None):
+        self.start = start
+        self.steps = steps
+        self.log_dir = log_dir
+        self._active = False
+
+    def before_train_iter(self, trainer):
+        import jax
+        if trainer.iter == self.start and not self._active:
+            log_dir = self.log_dir or os.path.join(
+                trainer.work_dir or ".", "profile")
+            os.makedirs(log_dir, exist_ok=True)
+            try:
+                jax.profiler.start_trace(log_dir)
+                self._active = True
+                trainer.logger.info("profiler trace started -> %s", log_dir)
+            except Exception as e:          # relay may not support profiling
+                trainer.logger.warning("profiler unavailable: %s", e)
+
+    def after_train_iter(self, trainer):
+        import jax
+        if self._active and trainer.iter >= self.start + self.steps:
+            jax.profiler.stop_trace()
+            self._active = False
+            trainer.logger.info("profiler trace stopped")
