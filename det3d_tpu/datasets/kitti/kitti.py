@@ -68,9 +68,12 @@ class KittiDataset(PointCloudDataset):
         already unpadded). Parity: kitti.py:78-158."""
         class_names = self._class_names
         annos = []
+        empty_det = {"box3d_lidar": np.zeros((0, 7), np.float32),
+                     "scores": np.zeros((0,), np.float32),
+                     "label_preds": np.zeros((0,), np.int64)}
         for info in self._kitti_infos:
             token = str(info["image"]["image_idx"])
-            det = detection[token]
+            det = detection.get(token, empty_det)
             calib = info["calib"]
             rect = calib["R0_rect"]
             Trv2c = calib["Tr_velo_to_cam"]
