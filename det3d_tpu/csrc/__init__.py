@@ -30,7 +30,10 @@ def _compile() -> Optional[Path]:
     if out.exists() and out.stat().st_mtime >= src.stat().st_mtime:
         return out
     _BUILD.mkdir(exist_ok=True)
-    cmd = ["g++", "-O3", "-shared", "-fPIC", "-fopenmp", "-std=c++17",
+    # no OpenMP: libgomp is not fork-safe (the dataloader forks workers
+    # after the parent may have run a parallel region during gt-db
+    # creation), and the workers already parallelize across examples
+    cmd = ["g++", "-O3", "-shared", "-fPIC", "-std=c++17",
            str(src), "-o", str(out)]
     try:
         subprocess.run(cmd, check=True, capture_output=True, timeout=120)

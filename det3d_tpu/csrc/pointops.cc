@@ -4,8 +4,9 @@
 // DataLoader workers (det3d/core/sampler/preprocess.py box_collision_test
 // :877, points_in_rbbox via box_np_ops :1100). numba is not available in
 // this environment and numpy broadcasting materializes (P, N) temporaries;
-// this translation unit provides cache-friendly scalar loops with OpenMP
-// across points/boxes, exposed over a C ABI for ctypes binding
+// this translation unit provides cache-friendly scalar loops exposed over
+// a C ABI for ctypes binding (single-threaded per process: the dataloader
+// workers are the parallelism axis, and libgomp is not fork-safe)
 // (det3d_tpu/csrc/__init__.py). Conventions match det3d_tpu.core.augment:
 // BEV corner = R(-theta) @ local + center.
 
