@@ -9,9 +9,17 @@ kernel the framework uses everywhere), ``compute_statistics_jit`` (:160),
 interpolated metric (prec at recalls 0, 0.1, ..., 1.0 -> prec[::4] of 41
 samples) matching the README model-zoo numbers.
 
-The assignment loops run per image over <=100 detections; plain Python is
-fast enough host-side (the reference needed numba because it re-ran the
-whole dataset per score threshold; we do the same fused accumulation).
+Derivation note: ``get_thresholds``, ``clean_data`` and the sequential
+``compute_statistics`` are deliberate transcriptions of the official KITTI
+benchmark protocol (as published in the KITTI devkit and mirrored by the
+reference's kitti_object_eval_python) — the matching rules admit exactly one
+shape and any deviation changes the metric, so they are kept structurally
+identical as the parity oracle. Everything around them is rewritten: the
+IoU kernels are the framework's vectorized Liang-Barsky (not numba.cuda
+polygon clipping), and the hot accumulation path is
+``compute_statistics_thresholds``, which fuses all 41 score thresholds into
+one masked matrix pass per image (the sequential twin is retained only as
+the golden oracle in tests).
 """
 
 from __future__ import annotations
@@ -248,6 +256,91 @@ def compute_statistics(overlaps, gt_datas, dt_datas, ignored_gt, ignored_det,
     return tp, fp, fn, similarity, np.array(thresholds)
 
 
+def compute_statistics_thresholds(overlaps, gt_datas, dt_datas, ignored_gt,
+                                  ignored_det, dc_bboxes, metric, min_overlap,
+                                  thresholds, compute_aos=False):
+    """All-thresholds fused twin of ``compute_statistics(compute_fp=True)``.
+
+    Replays the official sequential gt->det assignment once with the
+    threshold axis vectorized: per-gt candidate selection and the assigned
+    bookkeeping are (T, num_dt) masked numpy ops instead of T independent
+    scalar passes. Bit-identical to looping ``compute_statistics`` over
+    ``thresholds`` (asserted in tests/test_kitti_dataset.py); the reference
+    needed numba + a per-threshold re-run (kitti_object_eval_python/
+    eval.py:389-460 ``fused_compute_statistics``), this needs neither.
+
+    Returns pr: (T, 4) float64 of [tp, fp, fn, similarity] per threshold
+    (similarity is the raw sum; -1 handling follows the sequential twin).
+    """
+    thresholds = np.asarray(thresholds, np.float64)
+    T = thresholds.shape[0]
+    det_size = dt_datas.shape[0]
+    dt_scores = dt_datas[:, -1]
+    dt_alphas = dt_datas[:, 4]
+    gt_alphas = gt_datas[:, 4]
+    dt_bboxes = dt_datas[:, :4]
+    ignored_gt = np.asarray(ignored_gt, np.int64)
+    ignored_det = np.asarray(ignored_det, np.int64)
+
+    tp = np.zeros(T, np.int64)
+    fn = np.zeros(T, np.int64)
+    sim = np.zeros(T, np.float64)
+
+    # score_ok[t, j]: det j survives threshold t (ignored_threshold is
+    # ``dt_scores[j] < thresh``)
+    score_ok = dt_scores[None, :] >= thresholds[:, None]
+    assigned = np.zeros((T, det_size), bool)
+    t_idx = np.arange(T)
+
+    if det_size > 0:
+        base_not_skip = ignored_det != -1
+        base0 = (ignored_det == 0)[None, :]
+        base1 = (ignored_det == 1)[None, :]
+        for i in range(gt_datas.shape[0]):
+            if ignored_gt[i] == -1:
+                continue
+            ov_hit = (overlaps[:, i] > min_overlap) & base_not_skip
+            usable = ov_hit[None, :] & score_ok & ~assigned
+            avail0 = usable & base0
+            avail1 = usable & base1
+            has0 = avail0.any(1)
+            has1 = avail1.any(1)
+            # preferred: max-overlap non-ignored det (first max in j order,
+            # like the sequential strict-> running max); fallback: FIRST
+            # ignored det in j order (only reachable when nothing was
+            # selected before it — see the valid_detection==NO_DETECTION
+            # guard in the sequential twin)
+            det0 = np.where(avail0, overlaps[:, i][None, :],
+                            -np.inf).argmax(1)
+            det1 = avail1.argmax(1)
+            chosen = np.where(has0, det0, det1)
+            has = has0 | has1
+            if ignored_gt[i] == 0:
+                fn += ~has
+                is_tp = has0  # chosen is non-ignored exactly when has0
+                tp += is_tp
+                if compute_aos:
+                    delta = gt_alphas[i] - dt_alphas[chosen]
+                    sim += np.where(is_tp, (1.0 + np.cos(delta)) / 2.0, 0.0)
+            assigned[t_idx[has], chosen[has]] = True
+
+    # fp: unassigned, non-ignored, above-threshold dets
+    fp_mask = (~assigned) & (ignored_det == 0)[None, :] & score_ok
+    fp = fp_mask.sum(1)
+    if metric == 0 and len(dc_bboxes) > 0 and det_size > 0:
+        overlaps_dt_dc = image_box_overlap(dt_bboxes, dc_bboxes, 0)
+        in_dc = (overlaps_dt_dc > min_overlap).any(1)[None, :]
+        fp = fp - (fp_mask & in_dc).sum(1)
+
+    pr = np.zeros((T, 4), np.float64)
+    pr[:, 0] = tp
+    pr[:, 1] = fp
+    pr[:, 2] = fn
+    if compute_aos:
+        pr[:, 3] = np.where((tp > 0) | (fp > 0), sim, 0.0)
+    return pr
+
+
 def _prepare_data(gt_annos, dt_annos, current_class, difficulty):
     gt_datas, dt_datas, ignored_gts, ignored_dets, dontcares = \
         [], [], [], [], []
@@ -269,40 +362,68 @@ def _prepare_data(gt_annos, dt_annos, current_class, difficulty):
             total_dc_num, total_num_valid_gt)
 
 
-def calculate_iou_partly(gt_annos, dt_annos, metric):
-    """Per-image (num_dt, num_gt) overlap matrices."""
+def _bev_rects(anno):
+    """(N, 5) camera-BEV [x, z, l, w, ry] rectangles of one anno."""
+    return np.concatenate(
+        [anno["location"][:, [0, 2]], anno["dimensions"][:, [0, 2]],
+         anno["rotation_y"][..., None]], 1)
+
+
+def calculate_iou_partly(gt_annos, dt_annos, metric, cache=None):
+    """Per-image (num_dt, num_gt) overlap matrices.
+
+    The BEV and 3D metrics share the same rotated-rectangle intersection
+    (d3_box_overlap's rinc IS the BEV intersection); pass one ``cache``
+    dict across metric calls to compute it once per image.
+    """
+    if metric == 0:
+        return [image_box_overlap(dt["bbox"], gt["bbox"]).astype(np.float64)
+                for gt, dt in zip(gt_annos, dt_annos)]
+    if metric not in (1, 2):
+        raise ValueError("unknown metric")
+
+    if cache is None:
+        cache = {}
+    if "rinc" not in cache:
+        cache["rinc"] = [
+            _rotate_overlap(_bev_rects(dt), _bev_rects(gt), criterion=2)
+            for gt, dt in zip(gt_annos, dt_annos)]
+
     overlaps = []
-    for gt, dt in zip(gt_annos, dt_annos):
-        if metric == 0:
-            ov = image_box_overlap(dt["bbox"], gt["bbox"])
-        elif metric == 1:
-            dt_boxes = np.concatenate(
-                [dt["location"][:, [0, 2]], dt["dimensions"][:, [0, 2]],
-                 dt["rotation_y"][..., None]], 1)
-            gt_boxes = np.concatenate(
-                [gt["location"][:, [0, 2]], gt["dimensions"][:, [0, 2]],
-                 gt["rotation_y"][..., None]], 1)
-            ov = bev_box_overlap(dt_boxes, gt_boxes)
-        elif metric == 2:
-            dt_boxes = np.concatenate(
-                [dt["location"], dt["dimensions"],
-                 dt["rotation_y"][..., None]], 1)
-            gt_boxes = np.concatenate(
-                [gt["location"], gt["dimensions"],
-                 gt["rotation_y"][..., None]], 1)
-            ov = d3_box_overlap(dt_boxes, gt_boxes)
+    for gt, dt, rinc in zip(gt_annos, dt_annos, cache["rinc"]):
+        dt_rect, gt_rect = _bev_rects(dt), _bev_rects(gt)
+        if metric == 1:
+            area_a = (dt_rect[:, 2] * dt_rect[:, 3])[:, None]
+            area_b = (gt_rect[:, 2] * gt_rect[:, 3])[None, :]
+            denom = area_a + area_b - rinc
+            ov = np.where(denom > 0, rinc / np.maximum(denom, 1e-12), 0.0)
         else:
-            raise ValueError("unknown metric")
+            boxes, qboxes = dt["location"], gt["location"]
+            dims, qdims = dt["dimensions"], gt["dimensions"]
+            iw = (np.minimum(boxes[:, None, 1], qboxes[None, :, 1])
+                  - np.maximum(boxes[:, None, 1] - dims[:, None, 1],
+                               qboxes[None, :, 1] - qdims[None, :, 1]))
+            vol_a = dims.prod(-1)[:, None]
+            vol_b = qdims.prod(-1)[None, :]
+            inc = np.clip(iw, 0, None) * rinc
+            denom = vol_a + vol_b - inc
+            ov = np.where((iw > 0) & (denom > 0),
+                          inc / np.maximum(denom, 1e-12), 0.0)
         overlaps.append(ov.astype(np.float64))
     return overlaps
 
 
 def eval_class(gt_annos, dt_annos, current_classes, difficultys, metric,
-               min_overlaps, compute_aos=False, num_sample_pts=41):
+               min_overlaps, compute_aos=False, num_sample_pts=41,
+               iou_cache=None, prep_cache=None):
     """Parity: eval.py eval_class_v3. Returns dict with precision
-    (num_class, num_diff, num_minoverlap, num_sample_pts) and aos."""
+    (num_class, num_diff, num_minoverlap, num_sample_pts) and aos.
+
+    ``iou_cache``/``prep_cache`` (optional dicts) share the per-image
+    rotated intersections and the (class, difficulty)-keyed cleaned data
+    across the three metric passes of ``do_eval``."""
     assert len(gt_annos) == len(dt_annos)
-    overlaps = calculate_iou_partly(gt_annos, dt_annos, metric)
+    overlaps = calculate_iou_partly(gt_annos, dt_annos, metric, iou_cache)
     num_minoverlap = len(min_overlaps)
     num_class = len(current_classes)
     num_difficulty = len(difficultys)
@@ -313,9 +434,16 @@ def eval_class(gt_annos, dt_annos, current_classes, difficultys, metric,
 
     for m, current_class in enumerate(current_classes):
         for l, difficulty in enumerate(difficultys):
+            if prep_cache is not None:
+                if (current_class, difficulty) not in prep_cache:
+                    prep_cache[(current_class, difficulty)] = _prepare_data(
+                        gt_annos, dt_annos, current_class, difficulty)
+                prepared = prep_cache[(current_class, difficulty)]
+            else:
+                prepared = _prepare_data(
+                    gt_annos, dt_annos, current_class, difficulty)
             (gt_datas, dt_datas, ignored_gts, ignored_dets, dontcares,
-             total_dc_num, total_num_valid_gt) = _prepare_data(
-                gt_annos, dt_annos, current_class, difficulty)
+             total_dc_num, total_num_valid_gt) = prepared
             for k, min_overlap in enumerate(
                     min_overlaps[:, metric, m]):
                 thresholdss = []
@@ -332,16 +460,10 @@ def eval_class(gt_annos, dt_annos, current_classes, difficultys, metric,
                                             num_sample_pts)
                 pr = np.zeros([len(thresholds), 4])
                 for i in range(len(gt_annos)):
-                    for t, thresh in enumerate(thresholds):
-                        tp, fp, fn, sim, _ = compute_statistics(
-                            overlaps[i], gt_datas[i], dt_datas[i],
-                            ignored_gts[i], ignored_dets[i], dontcares[i],
-                            metric, min_overlap, thresh, True, compute_aos)
-                        pr[t, 0] += tp
-                        pr[t, 1] += fp
-                        pr[t, 2] += fn
-                        if sim != -1:
-                            pr[t, 3] += sim
+                    pr += compute_statistics_thresholds(
+                        overlaps[i], gt_datas[i], dt_datas[i],
+                        ignored_gts[i], ignored_dets[i], dontcares[i],
+                        metric, min_overlap, thresholds, compute_aos)
                 for t in range(len(thresholds)):
                     recall[m, l, k, t] = pr[t, 0] / max(
                         pr[t, 0] + pr[t, 2], 1e-12)
@@ -370,15 +492,19 @@ def get_mAP(prec):
 def do_eval(gt_annos, dt_annos, current_classes, min_overlaps,
             compute_aos=False):
     difficultys = [0, 1, 2]
+    iou_cache, prep_cache = {}, {}
     ret = eval_class(gt_annos, dt_annos, current_classes, difficultys, 0,
-                     min_overlaps, compute_aos)
+                     min_overlaps, compute_aos, iou_cache=iou_cache,
+                     prep_cache=prep_cache)
     mAP_bbox = get_mAP(ret["precision"])
     mAP_aos = get_mAP(ret["orientation"]) if compute_aos else None
     ret = eval_class(gt_annos, dt_annos, current_classes, difficultys, 1,
-                     min_overlaps)
+                     min_overlaps, iou_cache=iou_cache,
+                     prep_cache=prep_cache)
     mAP_bev = get_mAP(ret["precision"])
     ret = eval_class(gt_annos, dt_annos, current_classes, difficultys, 2,
-                     min_overlaps)
+                     min_overlaps, iou_cache=iou_cache,
+                     prep_cache=prep_cache)
     mAP_3d = get_mAP(ret["precision"])
     return mAP_bbox, mAP_bev, mAP_3d, mAP_aos
 
@@ -472,10 +598,12 @@ def get_coco_eval_result(gt_annos, dt_annos, current_classes):
         for anno in dt_annos)
     difficultys = [0, 1, 2]
     maps = {}
+    iou_cache, prep_cache = {}, {}
     for metric, key in ((0, "bbox"), (1, "bev"), (2, "3d")):
         ret = eval_class(gt_annos, dt_annos, current_classes, difficultys,
                          metric, thresholds,
-                         compute_aos=(compute_aos and metric == 0))
+                         compute_aos=(compute_aos and metric == 0),
+                         iou_cache=iou_cache, prep_cache=prep_cache)
         # mean over the overlap-range axis then 11-pt AP
         maps[key] = get_mAP(ret["precision"]).mean(axis=-1)
         if metric == 0 and compute_aos:

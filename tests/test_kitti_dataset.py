@@ -237,3 +237,181 @@ def test_eval_penalizes_bad_boxes(kitti_root):
     results, _ = ds.evaluation(detections, None)
     detail = results["detail"]["eval.kitti"]["official"]
     assert detail["Car_3d_easy"] < 50.0
+
+
+def _random_eval_image(rng, force_empty_dt=False, force_empty_gt=False):
+    """Random (gt_anno, dt_anno) with DontCare, Van, occlusion/truncation."""
+    names_pool = ["Car", "Van", "Pedestrian", "DontCare", "Cyclist"]
+    n_gt = 0 if force_empty_gt else rng.randint(0, 10)
+    n_dt = 0 if force_empty_dt else rng.randint(0, 14)
+    loc = rng.uniform(-20, 20, (n_gt, 3))
+    loc[:, 2] = rng.uniform(5, 60, n_gt)
+    dims = rng.uniform(0.8, 4.5, (n_gt, 3))
+    gt = {
+        "name": np.array([names_pool[rng.randint(len(names_pool))]
+                          for _ in range(n_gt)]),
+        "truncated": rng.uniform(0, 0.6, n_gt),
+        "occluded": rng.randint(0, 4, n_gt),
+        "alpha": rng.uniform(-np.pi, np.pi, n_gt),
+        "bbox": np.sort(rng.uniform(0, 370, (n_gt, 4)), axis=-1)[
+            :, [0, 1, 2, 3]] * [1, 1, 1, 1] + [0, 0, 30, 60],
+        "location": loc, "dimensions": dims,
+        "rotation_y": rng.uniform(-np.pi, np.pi, n_gt),
+    }
+    # detections near a random subset of gts plus noise
+    dt_boxes = []
+    for j in range(n_dt):
+        if n_gt and rng.rand() < 0.6:
+            i = rng.randint(n_gt)
+            dt_boxes.append((gt["bbox"][i] + rng.normal(0, 4, 4),
+                             gt["location"][i] + rng.normal(0, 0.4, 3),
+                             gt["dimensions"][i] * rng.uniform(0.8, 1.2, 3),
+                             gt["rotation_y"][i] + rng.normal(0, 0.2)))
+        else:
+            bb = np.sort(rng.uniform(0, 370, 4))
+            dt_boxes.append((bb + [0, 0, 30, 60],
+                             np.array([rng.uniform(-20, 20),
+                                       rng.uniform(-2, 2),
+                                       rng.uniform(5, 60)]),
+                             rng.uniform(0.8, 4.5, 3),
+                             rng.uniform(-np.pi, np.pi)))
+    dt = {
+        "name": np.array([["Car", "Pedestrian", "Van"][rng.randint(3)]
+                          for _ in range(n_dt)]),
+        "alpha": rng.uniform(-np.pi, np.pi, n_dt),
+        "bbox": (np.stack([b[0] for b in dt_boxes])
+                 if n_dt else np.zeros((0, 4))),
+        "location": (np.stack([b[1] for b in dt_boxes])
+                     if n_dt else np.zeros((0, 3))),
+        "dimensions": (np.stack([b[2] for b in dt_boxes])
+                       if n_dt else np.zeros((0, 3))),
+        "rotation_y": np.array([b[3] for b in dt_boxes]),
+        "score": rng.uniform(0, 1, n_dt),
+    }
+    return gt, dt
+
+
+def test_fused_statistics_matches_sequential_oracle():
+    """compute_statistics_thresholds must be bit-identical to looping the
+    sequential official-protocol oracle over thresholds."""
+    from det3d_tpu.datasets.kitti import eval as keval
+
+    rng = np.random.RandomState(0)
+    images = [_random_eval_image(rng) for _ in range(30)]
+    images.append(_random_eval_image(rng, force_empty_dt=True))
+    images.append(_random_eval_image(rng, force_empty_gt=True))
+    thresholds = np.linspace(0.0, 1.0, 41)
+
+    for metric in (0, 1, 2):
+        overlaps = keval.calculate_iou_partly(
+            [g for g, _ in images], [d for _, d in images], metric)
+        for current_class, min_overlap in ((0, 0.7), (0, 0.5), (1, 0.5)):
+            for difficulty in (0, 1, 2):
+                for gi, (gt, dt) in enumerate(images):
+                    nv, ig, idt, dc = keval.clean_data(
+                        gt, dt, current_class, difficulty)
+                    gt_datas = np.concatenate(
+                        [gt["bbox"], gt["alpha"][..., None]], 1)
+                    dt_datas = np.concatenate(
+                        [dt["bbox"], dt["alpha"][..., None],
+                         dt["score"][..., None]], 1)
+                    for compute_aos in (False, True):
+                        fused = keval.compute_statistics_thresholds(
+                            overlaps[gi], gt_datas, dt_datas, ig, idt, dc,
+                            metric, min_overlap, thresholds, compute_aos)
+                        for t, th in enumerate(thresholds):
+                            tp, fp, fn, sim, _ = keval.compute_statistics(
+                                overlaps[gi], gt_datas, dt_datas, ig, idt,
+                                dc, metric, min_overlap, th, True,
+                                compute_aos)
+                            seq = [tp, fp, fn,
+                                   sim if sim != -1 else 0.0]
+                            assert np.allclose(fused[t], seq, atol=0), (
+                                metric, current_class, difficulty, gi, t,
+                                fused[t], seq)
+
+
+def test_official_eval_golden_fixture():
+    """Hand-derived golden values for the full official eval path.
+
+    Construction (all overlaps exactly 1.0 or 0.0, so every protocol step
+    is hand-computable):
+      img1: gt Car1, Car2, DontCare. dt1=Car1 (s=.9), dt2=Car2 (s=.6),
+            dt3=far FP (s=.8), dt4=exactly on the DontCare bbox (s=.95).
+      img2: gt Car, Van(ignored). dtA=Car (s=.7), dt5=Van (s=.85, consumed
+            by the ignored gt, never a FP).
+    3 valid gts, TP scores {.9,.7,.6} -> thresholds [.9,.7,.6].
+      bbox (dt4 absorbed by DontCare):  prec=[1, 2/3, 3/4] -> AP=100/11
+      bev/3d (dt4 counts as FP):        prec=[1/2, 1/2, 3/5] -> AP=60/11
+      aos (perfect alphas on TPs):      = bbox precision    -> AP=100/11
+    """
+    from det3d_tpu.datasets.kitti import eval as keval
+
+    def anno(names, bboxes, alphas, locs, dims, rots, scores=None,
+             trunc=None, occl=None):
+        n = len(names)
+        a = {
+            "name": np.array(names),
+            "bbox": np.array(bboxes, np.float64),
+            "alpha": np.array(alphas, np.float64),
+            "location": np.array(locs, np.float64),
+            "dimensions": np.array(dims, np.float64),
+            "rotation_y": np.array(rots, np.float64),
+        }
+        if scores is not None:
+            a["score"] = np.array(scores, np.float64)
+        else:
+            a["truncated"] = np.array(trunc or [0.0] * n, np.float64)
+            a["occluded"] = np.array(occl or [0] * n, np.int64)
+        return a
+
+    car = [4.0, 1.5, 1.8]   # (l, h, w)
+    gt1 = anno(
+        ["Car", "Car", "DontCare"],
+        [[100, 100, 200, 200], [300, 100, 400, 200], [500, 100, 560, 160]],
+        [0.5, -0.3, -10],
+        [[5, 1.5, 20], [-4, 1.5, 30], [0, 0, 0]],
+        [car, car, [-1, -1, -1]],
+        [0.2, 1.0, -10],
+        trunc=[0, 0, -1], occl=[0, 0, -1])
+    dt1 = anno(
+        ["Car", "Car", "Car", "Car"],
+        [[100, 100, 200, 200], [300, 100, 400, 200],
+         [600, 100, 700, 200], [500, 100, 560, 160]],
+        [0.5, -0.3, 0.1, 0.2],
+        [[5, 1.5, 20], [-4, 1.5, 30], [10, 1.5, 50], [-10, 1.5, 60]],
+        [car, car, car, car],
+        [0.2, 1.0, 0.0, 0.0],
+        scores=[0.9, 0.6, 0.8, 0.95])
+    gt2 = anno(
+        ["Car", "Van"],
+        [[150, 120, 260, 240], [400, 120, 500, 220]],
+        [1.2, 0.4],
+        [[2, 1.4, 15], [-6, 1.5, 25]],
+        [[3.9, 1.6, 1.7], [5, 2, 2.2]],
+        [-0.7, 0.3])
+    dt2 = anno(
+        ["Car", "Car"],
+        [[150, 120, 260, 240], [400, 120, 500, 220]],
+        [1.2, 0.4],
+        [[2, 1.4, 15], [-6, 1.5, 25]],
+        [[3.9, 1.6, 1.7], [5, 2, 2.2]],
+        [-0.7, 0.3],
+        scores=[0.7, 0.85])
+
+    result_str, detail = keval.get_official_eval_result(
+        [gt1, gt2], [dt1, dt2], ["Car"])
+    ap_strict = 100.0 / 11.0
+    ap_dc_fp = 60.0 / 11.0
+    for diff in ("easy", "moderate", "hard"):
+        for tag in ("", "_loose"):
+            assert abs(detail[f"Car_bbox_{diff}{tag}"] - ap_strict) < 1e-9
+            assert abs(detail[f"Car_bev_{diff}{tag}"] - ap_dc_fp) < 1e-9
+            assert abs(detail[f"Car_3d_{diff}{tag}"] - ap_dc_fp) < 1e-9
+            assert abs(detail[f"Car_aos_{diff}{tag}"] - ap_strict) < 1e-9
+
+    _, coco = keval.get_coco_eval_result([gt1, gt2], [dt1, dt2], ["Car"])
+    for diff in ("easy", "moderate", "hard"):
+        assert abs(coco[f"Car_bbox_coco_{diff}"] - ap_strict) < 1e-9
+        assert abs(coco[f"Car_bev_coco_{diff}"] - ap_dc_fp) < 1e-9
+        assert abs(coco[f"Car_3d_coco_{diff}"] - ap_dc_fp) < 1e-9
