@@ -162,11 +162,8 @@ def train_detector(cfg, work_dir: Optional[str] = None,
                                cfg.get("log_config", {}).get("interval", 10)))
     trainer.register_hook(TextLoggerHook(interval=log_interval), "VERY_LOW")
     if work_dir and cfg.get("tensorboard", True):
-        try:
-            trainer.register_hook(
-                TensorboardLoggerHook(interval=log_interval), "VERY_LOW")
-        except Exception:
-            pass
+        trainer.register_hook(
+            TensorboardLoggerHook(interval=log_interval), "VERY_LOW")
     if resume_from:
         trainer.resume(resume_from)
     elif cfg.get("resume_from"):

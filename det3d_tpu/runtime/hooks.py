@@ -188,8 +188,9 @@ class TextLoggerHook(Hook):
 
 
 class TensorboardLoggerHook(Hook):
-    """Optional TB logging (hooks/logger/tensorboard.py). Gated on import:
-    tensorboardX is not baked into this image; falls back to no-op."""
+    """TensorBoard scalar logging (hooks/logger/tensorboard.py) via the
+    framework's own dependency-free event writer (utils/tfevents.py) —
+    no torch/tensorboardX import."""
 
     def __init__(self, log_dir: Optional[str] = None, interval: int = 20,
                  **kwargs):
@@ -198,12 +199,9 @@ class TensorboardLoggerHook(Hook):
         self.writer = None
 
     def before_run(self, trainer):
-        try:
-            from torch.utils.tensorboard import SummaryWriter  # torch is baked
-            self.writer = SummaryWriter(
-                self.log_dir or os.path.join(trainer.work_dir, "tf_logs"))
-        except Exception:
-            trainer.logger.warning("tensorboard unavailable; TB hook is a no-op")
+        from det3d_tpu.utils.tfevents import TfEventWriter
+        self.writer = TfEventWriter(
+            self.log_dir or os.path.join(trainer.work_dir, "tf_logs"))
 
     def after_train_iter(self, trainer):
         if self.writer is None or not self.every_n_inner_iters(trainer, self.interval):

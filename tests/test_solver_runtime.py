@@ -59,3 +59,30 @@ def test_weights_only_finetune_load(tmp_path):
     np.testing.assert_allclose(np.asarray(loaded.batch_stats["bn"]), 1.0)
     # optimizer state and step stay fresh (finetune semantics)
     assert int(loaded.step) == 0
+
+
+def test_tfevents_writer_readable_by_tensorboard(tmp_path):
+    """Event files from the dependency-free writer must parse with the real
+    TensorBoard reader (crc framing + proto encoding)."""
+    from det3d_tpu.utils.tfevents import TfEventWriter, _crc32c
+
+    # CRC32C known-answer test (RFC 3720 vector)
+    assert _crc32c(b"123456789") == 0xE3069283
+
+    w = TfEventWriter(str(tmp_path))
+    for step in range(5):
+        w.add_scalar("train/loss", 10.0 - step, step)
+        w.add_scalar("train/lr", 1e-3 * (step + 1), step)
+    w.close()
+
+    from tensorboard.backend.event_processing import event_accumulator
+    event_file = next(tmp_path.glob("events.out.tfevents.*"))
+    acc = event_accumulator.EventAccumulator(str(event_file))
+    acc.Reload()
+    assert set(acc.Tags()["scalars"]) == {"train/loss", "train/lr"}
+    loss = acc.Scalars("train/loss")
+    assert [e.step for e in loss] == list(range(5))
+    assert abs(loss[0].value - 10.0) < 1e-6
+    assert abs(loss[4].value - 6.0) < 1e-6
+    lr = acc.Scalars("train/lr")
+    assert abs(lr[2].value - 3e-3) < 1e-9
