@@ -200,8 +200,17 @@ def eval_detector(cfg, state, work_dir: Optional[str] = None,
                 examples.append(examples[-1])
             yield collate(examples)
 
+    mesh = None
+    if use_mesh:
+        n_dev = len(jax.devices())
+        if n_dev > 1 and batch_size % n_dev == 0:
+            mesh = make_mesh()
+        else:
+            logging.getLogger("det3d").warning(
+                "eval_detector(use_mesh=True): batch_size %d not divisible "
+                "by %d devices; predicting unsharded", batch_size, n_dev)
     predict_step = make_predict_step(model, voxel_gen, assigners, class_ids,
-                                     test_cfg)
+                                     test_cfg, mesh=mesh)
     detections: Dict[str, Any] = {}
     import time
     times = []
