@@ -38,6 +38,10 @@ class SingleStageDetector(nn.Module):
         return self.bbox_head.predict(example, preds,
                                       test_cfg or self.test_cfg)
 
+    def predict_tta(self, example, preds, test_cfg=None):
+        return self.bbox_head.predict_tta(example, preds,
+                                          test_cfg or self.test_cfg)
+
 
 @DETECTORS.register_module
 class PointPillars(SingleStageDetector):

@@ -272,6 +272,104 @@ class MultiGroupHead(nn.Module):
     # ------------------------------------------------------------------
     # prediction (fixed-shape, jit-able)
     # ------------------------------------------------------------------
+    def _task_candidates(self, example, preds, task_id, test_cfg):
+        """Decode one task's raw head output into NMS candidates.
+
+        Returns (reg, nms_scores, top_labels, dir_labels, offsets), each
+        (B, A', ...) where A' = A (or num_class*A under multi-class NMS).
+        """
+        nms_cfg = test_cfg["nms"] if isinstance(test_cfg, dict) else test_cfg.nms
+        use_multi_class = nms_cfg.get("use_multi_class_nms", False)
+        score_threshold = float(test_cfg["score_threshold"])
+
+        batch = preds["box_preds"].shape[0]
+        anchors = example["anchors"][task_id].reshape(
+            batch, -1, self.anchor_dim)
+        num_class = self.num_classes[task_id]
+        box_preds = preds["box_preds"].reshape(batch, -1, self.box_n_dim)
+        cls_preds = preds["cls_preds"].reshape(batch, -1, num_class)
+        reg = self.box_coder.decode(box_preds, anchors)   # (B, A, anchor_dim)
+        if self.use_direction_classifier:
+            dir_preds = preds["dir_cls_preds"].reshape(batch, -1, 2)
+            dir_labels = jnp.argmax(dir_preds, axis=-1)
+        else:
+            dir_labels = jnp.zeros(cls_preds.shape[:2], jnp.int32)
+
+        total_scores = jax.nn.sigmoid(cls_preds)
+        if use_multi_class and num_class > 1:
+            # per-class NMS (reference box_torch_ops.multiclass_nms via
+            # get_task_detections): run the class-agnostic path once per
+            # class and concatenate the fixed-size results
+            per_cls_scores = jnp.where(
+                total_scores >= score_threshold, total_scores, -1.0)
+            top_scores = jnp.concatenate(
+                [per_cls_scores[..., c] for c in range(num_class)],
+                axis=1)
+            top_labels = jnp.concatenate(
+                [jnp.full(per_cls_scores.shape[:2], c, jnp.int32)
+                 for c in range(num_class)], axis=1)
+            reg = jnp.tile(reg, (1, num_class, 1))
+            dir_labels = jnp.tile(dir_labels, (1, num_class))
+            nms_scores = top_scores
+            # batched-NMS trick: shift each class to its own far-away
+            # region so one NMS pass cannot suppress across classes
+            offsets = (top_labels.astype(jnp.float32) * 1e4)[..., None]
+        else:
+            if num_class == 1:
+                top_scores = total_scores[..., 0]
+                top_labels = jnp.zeros_like(top_scores, dtype=jnp.int32)
+            else:
+                top_scores = jnp.max(total_scores, axis=-1)
+                top_labels = jnp.argmax(
+                    total_scores, axis=-1).astype(jnp.int32)
+            keep_thresh = top_scores >= score_threshold
+            nms_scores = jnp.where(keep_thresh, top_scores, -1.0)
+            offsets = jnp.zeros(reg.shape[:2] + (1,), reg.dtype)
+        return reg, nms_scores, top_labels, dir_labels, offsets
+
+    def _nms_select(self, reg, nms_scores, top_labels, dir_labels, offsets,
+                    test_cfg, apply_dir: bool):
+        """Per-sample fixed-shape NMS over candidate boxes (vmapped)."""
+        nms_cfg = test_cfg["nms"] if isinstance(test_cfg, dict) else test_cfg.nms
+        use_rotate = nms_cfg["use_rotate_nms"]
+        pre_max = int(nms_cfg["nms_pre_max_size"])
+        post_max = int(nms_cfg["nms_post_max_size"])
+        iou_th = float(nms_cfg["nms_iou_threshold"])
+        post_center_range = test_cfg.get("post_center_limit_range", None)
+
+        def per_sample(reg_b, scores_b, labels_b, dir_b, off_b):
+            reg_nms = reg_b.at[:, 0].add(off_b[:, 0])
+            if use_rotate:
+                boxes_for_nms = reg_nms[:, [0, 1, 3, 4, -1]]
+            else:
+                corners = box_ops.center_to_corner_box2d(
+                    reg_nms[:, :2], reg_nms[:, 3:5], reg_nms[:, -1])
+                boxes_for_nms = box_ops.corner_to_standup_nd(corners)
+            idx, valid = nms_ops.nms(
+                boxes_for_nms, scores_b, pre_max_size=pre_max,
+                post_max_size=post_max, iou_threshold=iou_th,
+                rotated=bool(use_rotate))
+            sel_boxes = reg_b[idx]
+            sel_scores = scores_b[idx]
+            sel_labels = labels_b[idx]
+            sel_dir = dir_b[idx]
+            if apply_dir and self.use_direction_classifier:
+                opp = jnp.logical_xor(
+                    (sel_boxes[:, -1] - self.direction_offset) > 0,
+                    sel_dir.astype(bool))
+                sel_boxes = sel_boxes.at[:, -1].add(
+                    jnp.where(opp, np.pi, 0.0))
+            if post_center_range is not None and len(post_center_range) > 0:
+                pcr = jnp.asarray(post_center_range, sel_boxes.dtype)
+                inside = (
+                    jnp.all(sel_boxes[:, :3] >= pcr[:3], axis=1)
+                    & jnp.all(sel_boxes[:, :3] <= pcr[3:], axis=1))
+                valid = valid & inside
+            return sel_boxes, sel_scores, sel_labels, valid
+
+        return jax.vmap(per_sample)(reg, nms_scores, top_labels,
+                                    dir_labels, offsets)
+
     def predict(self, example: Dict[str, Any], preds_dicts: List[dict],
                 test_cfg) -> Dict[str, jnp.ndarray]:
         """Decode + NMS all tasks; returns padded per-sample detections.
@@ -282,103 +380,95 @@ class MultiGroupHead(nn.Module):
           label_preds: (B, D) int32 (global label ids across tasks)
           valid:       (B, D) bool
         """
-        nms_cfg = test_cfg["nms"] if isinstance(test_cfg, dict) else test_cfg.nms
-        use_rotate = nms_cfg["use_rotate_nms"]
-        use_multi_class = nms_cfg.get("use_multi_class_nms", False)
-        pre_max = int(nms_cfg["nms_pre_max_size"])
-        post_max = int(nms_cfg["nms_post_max_size"])
-        iou_th = float(nms_cfg["nms_iou_threshold"])
-        score_threshold = float(test_cfg["score_threshold"])
-        post_center_range = test_cfg.get("post_center_limit_range", None)
-
         boxes_all, scores_all, labels_all, valid_all = [], [], [], []
         label_offset = 0
         for task_id, preds in enumerate(preds_dicts):
-            batch = preds["box_preds"].shape[0]
-            anchors = example["anchors"][task_id].reshape(
-                batch, -1, self.anchor_dim)
-            num_class = self.num_classes[task_id]
-            box_preds = preds["box_preds"].reshape(batch, -1, self.box_n_dim)
-            cls_preds = preds["cls_preds"].reshape(batch, -1, num_class)
-            reg = self.box_coder.decode(box_preds, anchors)   # (B, A, anchor_dim)
-            if self.use_direction_classifier:
-                dir_preds = preds["dir_cls_preds"].reshape(batch, -1, 2)
-                dir_labels = jnp.argmax(dir_preds, axis=-1)
-            else:
-                dir_labels = jnp.zeros(cls_preds.shape[:2], jnp.int32)
-
-            total_scores = jax.nn.sigmoid(cls_preds)
-            if use_multi_class and num_class > 1:
-                # per-class NMS (reference box_torch_ops.multiclass_nms via
-                # get_task_detections): run the class-agnostic path once per
-                # class and concatenate the fixed-size results
-                per_cls_scores = jnp.where(
-                    total_scores >= score_threshold, total_scores, -1.0)
-                top_scores = jnp.concatenate(
-                    [per_cls_scores[..., c] for c in range(num_class)],
-                    axis=1)
-                top_labels = jnp.concatenate(
-                    [jnp.full(per_cls_scores.shape[:2], c, jnp.int32)
-                     for c in range(num_class)], axis=1)
-                reg = jnp.tile(reg, (1, num_class, 1))
-                dir_labels = jnp.tile(dir_labels, (1, num_class))
-                nms_scores = top_scores
-                # batched-NMS trick: shift each class to its own far-away
-                # region so one NMS pass cannot suppress across classes
-                nms_xy_offset = (top_labels.astype(jnp.float32)
-                                 * 1e4)[..., None]
-            else:
-                if num_class == 1:
-                    top_scores = total_scores[..., 0]
-                    top_labels = jnp.zeros_like(top_scores, dtype=jnp.int32)
-                else:
-                    top_scores = jnp.max(total_scores, axis=-1)
-                    top_labels = jnp.argmax(
-                        total_scores, axis=-1).astype(jnp.int32)
-                keep_thresh = top_scores >= score_threshold
-                nms_scores = jnp.where(keep_thresh, top_scores, -1.0)
-
-            def per_sample(reg_b, scores_b, labels_b, dir_b, off_b):
-                reg_nms = reg_b.at[:, 0].add(off_b[:, 0])
-                if use_rotate:
-                    boxes_for_nms = reg_nms[:, [0, 1, 3, 4, -1]]
-                else:
-                    corners = box_ops.center_to_corner_box2d(
-                        reg_nms[:, :2], reg_nms[:, 3:5], reg_nms[:, -1])
-                    boxes_for_nms = box_ops.corner_to_standup_nd(corners)
-                idx, valid = nms_ops.nms(
-                    boxes_for_nms, scores_b, pre_max_size=pre_max,
-                    post_max_size=post_max, iou_threshold=iou_th,
-                    rotated=bool(use_rotate))
-                sel_boxes = reg_b[idx]
-                sel_scores = scores_b[idx]
-                sel_labels = labels_b[idx]
-                sel_dir = dir_b[idx]
-                if self.use_direction_classifier:
-                    opp = jnp.logical_xor(
-                        (sel_boxes[:, -1] - self.direction_offset) > 0,
-                        sel_dir.astype(bool))
-                    sel_boxes = sel_boxes.at[:, -1].add(
-                        jnp.where(opp, np.pi, 0.0))
-                if post_center_range is not None and len(post_center_range) > 0:
-                    pcr = jnp.asarray(post_center_range, sel_boxes.dtype)
-                    inside = (
-                        jnp.all(sel_boxes[:, :3] >= pcr[:3], axis=1)
-                        & jnp.all(sel_boxes[:, :3] <= pcr[3:], axis=1))
-                    valid = valid & inside
-                return sel_boxes, sel_scores, sel_labels, valid
-
-            if use_multi_class and num_class > 1:
-                offsets = nms_xy_offset
-            else:
-                offsets = jnp.zeros(reg.shape[:2] + (1,), reg.dtype)
-            b, s, l, v = jax.vmap(per_sample)(reg, nms_scores, top_labels,
-                                              dir_labels, offsets)
+            cand = self._task_candidates(example, preds, task_id, test_cfg)
+            b, s, l, v = self._nms_select(*cand, test_cfg, apply_dir=True)
             boxes_all.append(b)
             scores_all.append(s)
             labels_all.append(jnp.where(v, l + label_offset, 0))
             valid_all.append(v)
-            label_offset += num_class
+            label_offset += self.num_classes[task_id]
+
+        return {
+            "box3d_lidar": jnp.concatenate(boxes_all, axis=1),
+            "scores": jnp.concatenate(scores_all, axis=1),
+            "label_preds": jnp.concatenate(labels_all, axis=1),
+            "valid": jnp.concatenate(valid_all, axis=1),
+        }
+
+    def predict_tta(self, example: Dict[str, Any], preds_dicts: List[dict],
+                    test_cfg) -> Dict[str, jnp.ndarray]:
+        """Double-flip test-time augmentation merge.
+
+        ``example``/``preds_dicts`` come from a forward over the 4-variant
+        stacked batch [identity, y-flip, x-flip, xy-flip] of size 4B (built
+        by make_predict_step when test_cfg['double_flip'] is set). Each
+        variant's decoded candidates are mapped back into the original
+        frame (positions/velocities negated, yaw reflected), the direction
+        classifier is folded into the yaw in the variant's own frame, and
+        one NMS runs over the union of the 4 candidate sets per sample.
+
+        Parity role: the reference's flip TTA surface (pipelines/
+        test_aug.py:8 MultiScaleFlipAug; preprocess.py:202-206 notes the
+        nuScenes double flip) — redesigned as a single fixed-shape jitted
+        ensemble instead of per-variant python passes.
+        """
+        nv = 4
+        # per-variant sign conventions: variant order [id, yflip, xflip, xy]
+        flip_x = np.array([False, False, True, True])
+        flip_y = np.array([False, True, False, True])
+
+        boxes_all, scores_all, labels_all, valid_all = [], [], [], []
+        label_offset = 0
+        for task_id, preds in enumerate(preds_dicts):
+            reg, scores, labels, dirs, offs = self._task_candidates(
+                example, preds, task_id, test_cfg)
+            if self.use_direction_classifier:
+                opp = jnp.logical_xor(
+                    (reg[..., -1] - self.direction_offset) > 0,
+                    dirs.astype(bool))
+                reg = reg.at[..., -1].add(jnp.where(opp, np.pi, 0.0))
+
+            b4, a = reg.shape[0], reg.shape[1]
+            assert b4 % nv == 0, (b4, nv)
+            bsz = b4 // nv
+            reg = reg.reshape(nv, bsz, a, -1)
+            # de-flip positions / velocity / yaw per variant
+            sx = jnp.asarray(np.where(flip_x, -1.0, 1.0),
+                             reg.dtype)[:, None, None]
+            sy = jnp.asarray(np.where(flip_y, -1.0, 1.0),
+                             reg.dtype)[:, None, None]
+            reg = reg.at[..., 0].multiply(sx)
+            reg = reg.at[..., 1].multiply(sy)
+            if self.anchor_dim >= 9:                 # [.., vx, vy, yaw]
+                reg = reg.at[..., 6].multiply(sx)
+                reg = reg.at[..., 7].multiply(sy)
+            yaw = reg[..., -1]
+            fy = jnp.asarray(flip_y)[:, None, None]
+            fx = jnp.asarray(flip_x)[:, None, None]
+            yaw = jnp.where(fy, -yaw, yaw)
+            yaw = jnp.where(fx, np.pi - yaw, yaw)
+            reg = reg.at[..., -1].set(yaw)
+
+            def merge(x):
+                x = x.reshape(nv, bsz, *x.shape[1:])
+                x = jnp.moveaxis(x, 0, 1)            # (B, nv, A, ...)
+                return x.reshape(bsz, nv * a, *x.shape[3:])
+
+            reg = jnp.moveaxis(reg, 0, 1).reshape(bsz, nv * a, -1)
+            scores = merge(scores)
+            labels = merge(labels)
+            dirs = merge(dirs)
+            offs = merge(offs)
+            b, s, l, v = self._nms_select(reg, scores, labels, dirs, offs,
+                                          test_cfg, apply_dir=False)
+            boxes_all.append(b)
+            scores_all.append(s)
+            labels_all.append(jnp.where(v, l + label_offset, 0))
+            valid_all.append(v)
+            label_offset += self.num_classes[task_id]
 
         return {
             "box3d_lidar": jnp.concatenate(boxes_all, axis=1),

@@ -154,13 +154,32 @@ def make_predict_step(model, voxel_generator: VoxelGenerator,
     Mirrors the eval half of batch_processor (train.py:143) + head predict.
     """
 
+    double_flip = bool(
+        test_cfg.get("double_flip", False) if isinstance(test_cfg, dict)
+        else getattr(test_cfg, "double_flip", False))
+
     def step_fn(state: TrainState, batch):
+        if double_flip:
+            # 4-variant stacked forward [id, y-flip, x-flip, xy-flip];
+            # predict_tta de-flips and merges before one NMS. Parity role:
+            # reference pipelines/test_aug.py:8 (+ the nuScenes double-flip
+            # note at preprocess.py:202-206), fused into the jitted step.
+            pts = batch["points"]
+            p_y = pts.at[..., 1].multiply(-1.0)
+            p_x = pts.at[..., 0].multiply(-1.0)
+            p_xy = p_x.at[..., 1].multiply(-1.0)
+            batch = {
+                "points": jnp.concatenate([pts, p_y, p_x, p_xy], axis=0),
+                "num_points": jnp.tile(batch["num_points"], (4,)),
+            }
         example = build_example(batch, voxel_generator, assigners,
                                 class_ids_per_task, with_targets=False)
         preds = model.apply(
             {"params": state.params, "batch_stats": state.batch_stats},
             example["voxels"], example["num_points_per_voxel"],
             example["coordinates"], train=False)
+        if double_flip:
+            return model.predict_tta(example, preds, test_cfg)
         return model.predict(example, preds, test_cfg)
 
     if mesh is not None:

@@ -233,3 +233,70 @@ def test_multiclass_nms_no_cross_suppression(stack, rng):
     # ...and the weaker same-class duplicate was suppressed
     assert (labels == 1).sum() == 1, (labels, scores)
     assert (labels == 2).sum() == 1
+
+
+def test_double_flip_tta_symmetry(stack, rng):
+    """predict with double_flip TTA: mirroring the input scene must mirror
+    the detections exactly (the 4-variant ensemble is closed under flips),
+    including velocity and yaw de-flipping on 9-dim boxes."""
+    model, voxel_gen, assigners, class_ids, test_cfg = stack
+    batch = _scene(rng, batch=1)
+    jbatch = {k: jnp.asarray(v) for k, v in batch.items()}
+
+    example = build_example(jbatch, voxel_gen, assigners, class_ids,
+                            with_targets=True)
+    variables = model.init(
+        jax.random.PRNGKey(0), example["voxels"],
+        example["num_points_per_voxel"], example["coordinates"], train=False)
+    lr_fn, mom_fn = one_cycle(3e-3, 50)
+    tx = build_optimizer(dict(TYPE="adam", VALUE=dict(wd=0.01),
+                              FIXED_WD=True), lr_fn, mom_fn)
+    state = TrainState.create(variables["params"], variables["batch_stats"],
+                              tx)
+    train_step = make_train_step(model, voxel_gen, assigners, class_ids)
+    for _ in range(50):
+        state, _ = train_step(state, jbatch)
+
+    tta_cfg = dict(test_cfg, double_flip=True, score_threshold=0.1)
+    tta_step = make_predict_step(model, voxel_gen, assigners, class_ids,
+                                 tta_cfg)
+
+    out = jax.tree_util.tree_map(np.asarray, tta_step(state, jbatch))
+    assert int(out["valid"].sum()) > 0, "TTA produced no detections"
+
+    def angdiff(a, b):
+        return np.abs(np.angle(np.exp(1j * (a - b))))
+
+    def check_mirror(mirrored_batch, sgn_x, sgn_y):
+        out_m = jax.tree_util.tree_map(
+            np.asarray, tta_step(state, mirrored_batch))
+        v, vm = out["valid"][0], out_m["valid"][0]
+        assert int(v.sum()) == int(vm.sum())
+        # sort both sides by score (detections are in per-task score order
+        # already, but make the pairing explicit)
+        a = np.argsort(-out["scores"][0][v])
+        b = np.argsort(-out_m["scores"][0][vm])
+        np.testing.assert_allclose(out["scores"][0][v][a],
+                                   out_m["scores"][0][vm][b], atol=1e-5)
+        np.testing.assert_array_equal(out["label_preds"][0][v][a],
+                                      out_m["label_preds"][0][vm][b])
+        bx = out["box3d_lidar"][0][v][a]
+        bm = out_m["box3d_lidar"][0][vm][b]
+        np.testing.assert_allclose(bx[:, 0] * sgn_x, bm[:, 0], atol=1e-4)
+        np.testing.assert_allclose(bx[:, 1] * sgn_y, bm[:, 1], atol=1e-4)
+        np.testing.assert_allclose(bx[:, 2:6], bm[:, 2:6], atol=1e-4)
+        np.testing.assert_allclose(bx[:, 6] * sgn_x, bm[:, 6], atol=1e-4)
+        np.testing.assert_allclose(bx[:, 7] * sgn_y, bm[:, 7], atol=1e-4)
+        yaw_expect = bx[:, 8].copy()
+        if sgn_y < 0:
+            yaw_expect = -yaw_expect
+        if sgn_x < 0:
+            yaw_expect = np.pi - yaw_expect
+        assert angdiff(yaw_expect, bm[:, 8]).max() < 1e-3
+
+    pts = batch["points"].copy()
+    pts_y = pts.copy(); pts_y[..., 1] *= -1
+    pts_xy = pts.copy(); pts_xy[..., 0] *= -1; pts_xy[..., 1] *= -1
+    base = {k: jnp.asarray(v) for k, v in batch.items() if k != "points"}
+    check_mirror(dict(base, points=jnp.asarray(pts_y)), 1, -1)
+    check_mirror(dict(base, points=jnp.asarray(pts_xy)), -1, -1)
