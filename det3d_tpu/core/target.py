@@ -71,11 +71,17 @@ SIMILARITY_FNS = {
 
 def create_target(anchors, gt_boxes, gt_valid, gt_classes, similarity_fn,
                   box_encode_fn, matched_threshold, unmatched_threshold,
-                  code_size):
+                  code_size, positive_fraction=None, sample_size=512,
+                  rng=None):
     """Vectorized, padded-GT port of create_target_np (target_ops.py:28-222).
 
     anchors: (A, nd) float. gt_boxes: (G, nd) padded. gt_valid: (G,) bool.
     gt_classes: (G,) int32 (global 1-based ids). thresholds: scalar or (A,).
+    positive_fraction/sample_size/rng: RPN-style minibatch subsampling
+    (target_ops.py:144-168) — at most positive_fraction*sample_size
+    positives kept (excess randomly set to ignore) and sample_size-n_fg
+    negatives randomly enabled (with replacement, like the reference);
+    unsampled background stays ignore (-1).
     Returns labels (A,) int32, bbox_targets (A, code_size), reg_weights (A,).
     """
     sim = similarity_fn(anchors[:, [0, 1, 3, 4, -1]], gt_boxes[:, [0, 1, 3, 4, -1]])
@@ -95,11 +101,42 @@ def create_target(anchors, gt_boxes, gt_valid, gt_classes, similarity_fn,
     pos = anchor_to_gt_max >= matched_threshold
     bg = anchor_to_gt_max < unmatched_threshold
 
-    labels = jnp.where(
-        force_anchor | pos, cls_of_argmax,
-        jnp.where(bg, 0, -1)).astype(jnp.int32)
     any_gt = jnp.any(gt_valid)
-    labels = jnp.where(any_gt, labels, 0)
+    if positive_fraction is None:
+        labels = jnp.where(
+            force_anchor | pos, cls_of_argmax,
+            jnp.where(bg, 0, -1)).astype(jnp.int32)
+        labels = jnp.where(any_gt, labels, 0)
+    else:
+        assert rng is not None, "positive_fraction subsampling needs rng"
+        a = anchors.shape[0]
+        # labels start at ignore; only fg is set, bg is enabled by sampling
+        labels = jnp.where(force_anchor | pos, cls_of_argmax,
+                           -1).astype(jnp.int32)
+        labels = jnp.where(any_gt, labels, -1)
+        k_fg, k_bg = jax.random.split(rng)
+
+        # subsample positives: keep a random num_fg of the fg anchors
+        num_fg = int(positive_fraction * sample_size)
+        fg0 = labels > 0
+        fg_order = jnp.argsort(
+            jnp.where(fg0, jax.random.uniform(k_fg, (a,)), 2.0))
+        fg_rank = jnp.zeros((a,), jnp.int32).at[fg_order].set(
+            jnp.arange(a, dtype=jnp.int32))
+        labels = jnp.where(fg0 & (fg_rank >= num_fg), -1, labels)
+
+        # enable sample_size - n_fg negatives, sampled WITH replacement
+        # from the bg pool (when no gt, every anchor is bg — the reference's
+        # len(gt)==0 branch sets bg_inds = all)
+        bg_pool = jnp.where(any_gt, bg, jnp.ones_like(bg))
+        n_fg = (labels > 0).sum()
+        num_bg = jnp.maximum(sample_size - n_fg, 0)
+        n_bg = bg_pool.sum()
+        bg_order = jnp.argsort(~bg_pool)                 # bg indices first
+        u = jax.random.randint(k_bg, (sample_size,), 0, jnp.maximum(n_bg, 1))
+        chosen = bg_order[u]
+        enable = (jnp.arange(sample_size) < num_bg) & (n_bg > num_bg)
+        labels = labels.at[jnp.where(enable, chosen, a)].set(0, mode="drop")
 
     fg = labels > 0
     # guard padded gt dims against log(0) in the encoder
@@ -167,12 +204,14 @@ class TargetAssigner:
         full = np.concatenate(self._anchors_by_class, axis=-2)
         return full.reshape(-1, full.shape[-1])
 
-    def assign(self, gt_boxes, gt_classes, gt_valid, class_ids: Sequence[int]):
+    def assign(self, gt_boxes, gt_classes, gt_valid, class_ids: Sequence[int],
+               rng=None):
         """Assign padded GT to this task's anchors (jit-friendly).
 
         gt_boxes: (G, nd), gt_classes: (G,) global 1-based ids, gt_valid: (G,)
         bool, class_ids: per-generator global id (static python ints, in the
-        same order as anchor_generators).
+        same order as anchor_generators). rng: PRNGKey, required only when
+        positive_fraction subsampling is enabled.
 
         Returns labels (A,), bbox_targets (A, code), reg_weights (A,) in the
         assign_v2 concatenated-per-location layout (target_assigner.py:113-140).
@@ -181,16 +220,23 @@ class TargetAssigner:
         sim_fn = SIMILARITY_FNS[self.similarity]
         fz, fy, fx = self._feature_map_size
         code = self.box_coder.code_size
+        if self.positive_fraction is not None and rng is not None:
+            gen_keys = list(jax.random.split(rng, len(self._anchors_by_class)))
+        else:
+            gen_keys = [None] * len(self._anchors_by_class)
 
         labels_list, targets_list, weights_list = [], [], []
-        for gen_anchors, (mt, ut), cid in zip(
-                self._anchors_by_class, self._thresholds, class_ids):
+        for gen_anchors, (mt, ut), cid, key in zip(
+                self._anchors_by_class, self._thresholds, class_ids, gen_keys):
             num_loc = gen_anchors.shape[-2]
             flat_anchors = jnp.asarray(gen_anchors.reshape(-1, gen_anchors.shape[-1]))
             cls_mask = gt_valid & (gt_classes == cid)
             labels, targets, weights = create_target(
                 flat_anchors, gt_boxes, cls_mask, gt_classes, sim_fn,
-                self.box_coder.encode, mt, ut, code)
+                self.box_coder.encode, mt, ut, code,
+                positive_fraction=(self.positive_fraction
+                                   if key is not None else None),
+                sample_size=self.sample_size, rng=key)
             labels_list.append(labels.reshape(fz, fy, fx, num_loc))
             targets_list.append(targets.reshape(fz, fy, fx, num_loc, code))
             weights_list.append(weights.reshape(fz, fy, fx, num_loc))

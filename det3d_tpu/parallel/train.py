@@ -62,11 +62,13 @@ def build_example(batch: Dict[str, jnp.ndarray],
                   voxel_generator: VoxelGenerator,
                   assigners: Sequence[TargetAssigner],
                   class_ids_per_task: Sequence[Sequence[int]],
-                  with_targets: bool = True) -> Dict[str, Any]:
+                  with_targets: bool = True, rng=None) -> Dict[str, Any]:
     """On-device data plane: voxelize + per-task target assignment.
 
     Replaces the reference pipeline stages Voxelization + AssignTarget
     (pipelines/preprocess.py:259-483) which ran in CPU worker processes.
+    ``rng`` (PRNGKey) is only needed when an assigner uses
+    positive_fraction subsampling.
     """
     vox = voxel_generator.generate_batch(batch["points"], batch["num_points"])
     batch_size = batch["points"].shape[0]
@@ -81,15 +83,23 @@ def build_example(batch: Dict[str, jnp.ndarray],
     if with_targets:
         example.update({"labels": [], "reg_targets": [], "reg_weights": []})
 
-    for assigner, class_ids in zip(assigners, class_ids_per_task):
+    for t, (assigner, class_ids) in enumerate(
+            zip(assigners, class_ids_per_task)):
         anchors = jnp.asarray(assigner.anchors_flat)          # (A, nd)
         example["anchors"].append(
             jnp.broadcast_to(anchors[None], (batch_size, *anchors.shape)))
         if with_targets:
             assign = functools.partial(assigner.assign,
                                        class_ids=tuple(class_ids))
-            labels, targets, weights = jax.vmap(assign)(
-                batch["gt_boxes"], batch["gt_classes"], batch["gt_valid"])
+            if rng is not None and assigner.positive_fraction is not None:
+                keys = jax.random.split(
+                    jax.random.fold_in(rng, t), batch_size)
+                labels, targets, weights = jax.vmap(assign)(
+                    batch["gt_boxes"], batch["gt_classes"],
+                    batch["gt_valid"], rng=keys)
+            else:
+                labels, targets, weights = jax.vmap(assign)(
+                    batch["gt_boxes"], batch["gt_classes"], batch["gt_valid"])
             example["labels"].append(labels)
             example["reg_targets"].append(targets)
             example["reg_weights"].append(weights)
@@ -107,9 +117,16 @@ def make_train_step(model, voxel_generator: VoxelGenerator,
     the ICI.
     """
 
+    needs_rng = any(a.positive_fraction is not None for a in assigners)
+
     def step_fn(state: TrainState, batch):
+        # per-step deterministic key for target subsampling (only built when
+        # an assigner uses positive_fraction, to keep other graphs unchanged)
+        rng = (jax.random.fold_in(jax.random.PRNGKey(0), state.step)
+               if needs_rng else None)
         example = build_example(batch, voxel_generator, assigners,
-                                class_ids_per_task, with_targets=True)
+                                class_ids_per_task, with_targets=True,
+                                rng=rng)
 
         def loss_fn(params):
             preds, mutated = model.apply(

@@ -125,3 +125,59 @@ def test_task_assigner_layout():
     slot = np.arange(800) % 4
     assert set(slot[labels == 1]) <= {0, 1}
     assert set(slot[labels == 2]) <= {2, 3}
+
+
+def test_positive_fraction_subsampling(rng):
+    """RPN minibatch subsampling (target_ops.py:144-168): at most
+    positive_fraction*sample_size positives survive (excess -> ignore),
+    sample_size - n_fg negatives are enabled, the rest stay ignore."""
+    import jax
+
+    _, anchors = _make_anchors()
+    G = 6
+    gt = np.zeros((G, 7), np.float32)
+    gt[:, 0] = np.linspace(3, 17, G)
+    gt[:, 1] = np.linspace(-7, 7, G)
+    gt[:, 2] = -1.0
+    gt[:, 3:6] = [1.6, 3.9, 1.56]
+    gt_valid = np.ones((G,), bool)
+    gt_cls = np.ones((G,), np.int32)
+
+    coder = GroundBox3dCoder()
+    args = (jnp.asarray(anchors), jnp.asarray(gt), jnp.asarray(gt_valid),
+            jnp.asarray(gt_cls), nearest_iou_similarity, coder.encode,
+            0.3, 0.2, 7)
+
+    base_labels, _, _ = create_target(*args)
+    n_fg_all = int((np.asarray(base_labels) > 0).sum())
+    assert n_fg_all > 4, n_fg_all          # scenario has excess positives
+
+    sample_size, frac = 32, 0.125          # num_fg cap = 4
+    key = jax.random.PRNGKey(7)
+    labels, targets, weights = create_target(
+        *args, positive_fraction=frac, sample_size=sample_size, rng=key)
+    labels = np.asarray(labels)
+    n_fg = int((labels > 0).sum())
+    n_bg = int((labels == 0).sum())
+    assert n_fg == 4                        # capped (had excess)
+    # bg sampled WITH replacement (like the reference), so duplicates can
+    # make the distinct count fall slightly short of the quota
+    assert n_bg <= sample_size - n_fg
+    assert n_bg >= int(0.8 * (sample_size - n_fg))
+    # surviving positives are a subset of the unsubsampled positives
+    assert set(np.where(labels > 0)[0]) <= set(
+        np.where(np.asarray(base_labels) > 0)[0])
+    # reg weights follow the post-subsample fg set
+    np.testing.assert_array_equal(
+        np.asarray(weights) > 0, labels > 0)
+    # targets zeroed outside surviving fg
+    assert np.all(np.asarray(targets)[labels <= 0] == 0)
+
+    # deterministic under the same key; different under another key
+    labels2, _, _ = create_target(
+        *args, positive_fraction=frac, sample_size=sample_size, rng=key)
+    np.testing.assert_array_equal(labels, np.asarray(labels2))
+    labels3, _, _ = create_target(
+        *args, positive_fraction=frac, sample_size=sample_size,
+        rng=jax.random.PRNGKey(8))
+    assert not np.array_equal(labels, np.asarray(labels3))
