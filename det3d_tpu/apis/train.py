@@ -63,6 +63,9 @@ def build_stack(cfg):
     fm = [1, grid[1] // osf, grid[0] // osf]
     for a in assigners:
         a.generate_anchors(fm)
+        if a.anchor_area_threshold >= 0:
+            a.prepare_anchors_mask(voxel_gen.voxel_size,
+                                   voxel_gen.point_cloud_range, grid)
 
     # global 1-based class ids per task (Preprocess numbers classes over the
     # flattened class_names list — pipelines/preprocess.py:196-200)

@@ -72,7 +72,7 @@ SIMILARITY_FNS = {
 def create_target(anchors, gt_boxes, gt_valid, gt_classes, similarity_fn,
                   box_encode_fn, matched_threshold, unmatched_threshold,
                   code_size, positive_fraction=None, sample_size=512,
-                  rng=None):
+                  rng=None, anchors_mask=None):
     """Vectorized, padded-GT port of create_target_np (target_ops.py:28-222).
 
     anchors: (A, nd) float. gt_boxes: (G, nd) padded. gt_valid: (G,) bool.
@@ -87,6 +87,11 @@ def create_target(anchors, gt_boxes, gt_valid, gt_classes, similarity_fn,
     sim = similarity_fn(anchors[:, [0, 1, 3, 4, -1]], gt_boxes[:, [0, 1, 3, 4, -1]])
     neg_inf = jnp.asarray(-1.0, sim.dtype)
     sim = jnp.where(gt_valid[None, :], sim, neg_inf)
+    if anchors_mask is not None:
+        # pruned anchors (reference prune_anchor_fn, target_assigner.py:40-43)
+        # take part in nothing: not in gt-best-match, not pos, and their
+        # final label is -1 (create_target_np's unmap fill)
+        sim = jnp.where(anchors_mask[:, None], sim, neg_inf)
 
     anchor_to_gt_argmax = jnp.argmax(sim, axis=1)                 # (A,)
     anchor_to_gt_max = jnp.max(sim, axis=1)                       # (A,)
@@ -138,6 +143,9 @@ def create_target(anchors, gt_boxes, gt_valid, gt_classes, similarity_fn,
         enable = (jnp.arange(sample_size) < num_bg) & (n_bg > num_bg)
         labels = labels.at[jnp.where(enable, chosen, a)].set(0, mode="drop")
 
+    if anchors_mask is not None:
+        labels = jnp.where(anchors_mask, labels, -1)
+
     fg = labels > 0
     # guard padded gt dims against log(0) in the encoder
     safe_gt = gt_boxes.at[:, 3:6].set(jnp.maximum(gt_boxes[:, 3:6], 1e-3))
@@ -165,6 +173,7 @@ class TargetAssigner:
     similarity: str = "nearest_iou_similarity"
     positive_fraction: Optional[float] = None
     sample_size: int = 512
+    anchor_area_threshold: float = -1.0
 
     def __post_init__(self):
         if self.positive_fraction is not None and self.positive_fraction < 0:
@@ -172,6 +181,7 @@ class TargetAssigner:
         self._feature_map_size = None
         self._anchors_by_class = None
         self._thresholds = None
+        self._mask_cells = None
 
     @property
     def classes(self):
@@ -204,8 +214,63 @@ class TargetAssigner:
         full = np.concatenate(self._anchors_by_class, axis=-2)
         return full.reshape(-1, full.shape[-1])
 
+    # -- anchors_mask (anchor_area_threshold >= 0) -------------------------
+    # Parity: preprocess.py:433-448 + box_np_ops.py sparse_sum_for_
+    # anchors_mask / fused_get_anchors_area. The BEV occupancy integral
+    # image is built on device per sample; the 4 summed-area corner cells
+    # per anchor are STATIC (anchors are baked), precomputed in numpy here.
+
+    def prepare_anchors_mask(self, voxel_size, pc_range, grid_size):
+        """Precompute per-generator integral-image corner cells (A_g, 4)
+        int32 [x0, y0, x1, y1], with the reference's floor + clip rules."""
+        vx, vy = float(voxel_size[0]), float(voxel_size[1])
+        ox, oy = float(pc_range[0]), float(pc_range[1])
+        gx, gy = int(grid_size[0]), int(grid_size[1])
+        cells = []
+        for a in self._anchors_by_class:
+            flat = a.reshape(-1, a.shape[-1])
+            bv = np.asarray(box_ops.rbbox2d_to_near_bbox(
+                flat[:, [0, 1, 3, 4, -1]]))              # (A, 4) xyxy metric
+            c = np.stack([
+                np.floor((bv[:, 0] - ox) / vx),
+                np.floor((bv[:, 1] - oy) / vy),
+                np.floor((bv[:, 2] - ox) / vx),
+                np.floor((bv[:, 3] - oy) / vy)], -1).astype(np.int64)
+            c[:, 0] = np.clip(c[:, 0], 0, None)
+            c[:, 1] = np.clip(c[:, 1], 0, None)
+            c[:, 2] = np.clip(c[:, 2], None, gx - 1)
+            c[:, 3] = np.clip(c[:, 3], None, gy - 1)
+            cells.append(c.astype(np.int32))
+        self._mask_cells = cells
+
+    def anchors_mask(self, coords, grid_size):
+        """(V, 3) zyx device coords -> (A,) bool mask, assign_v2 layout.
+
+        occupancy scatter + inclusive double cumsum + 4 corner lookups,
+        exactly like the numba kernels (including the inclusive-integral
+        off-by-one: the counted window is (y0, y1] x (x0, x1])."""
+        assert self._mask_cells is not None, "call prepare_anchors_mask first"
+        gx, gy = int(grid_size[0]), int(grid_size[1])
+        valid = coords[:, 0] >= 0
+        yi = jnp.where(valid, coords[:, 1], gy)
+        xi = jnp.where(valid, coords[:, 2], gx)
+        occ = jnp.zeros((gy, gx), jnp.float32).at[yi, xi].add(
+            1.0, mode="drop")
+        integral = occ.cumsum(0).cumsum(1)
+
+        fz, fy, fx = self._feature_map_size
+        masks = []
+        for a, cells in zip(self._anchors_by_class, self._mask_cells):
+            num_loc = a.shape[-2]
+            c = jnp.asarray(cells)                           # (A_g, 4)
+            lookup = integral[c[:, 3], c[:, 2]] - integral[c[:, 3], c[:, 0]] \
+                - integral[c[:, 1], c[:, 2]] + integral[c[:, 1], c[:, 0]]
+            masks.append((lookup > self.anchor_area_threshold).reshape(
+                fz, fy, fx, num_loc))
+        return jnp.concatenate(masks, axis=-1).reshape(-1)
+
     def assign(self, gt_boxes, gt_classes, gt_valid, class_ids: Sequence[int],
-               rng=None):
+               rng=None, anchors_mask=None):
         """Assign padded GT to this task's anchors (jit-friendly).
 
         gt_boxes: (G, nd), gt_classes: (G,) global 1-based ids, gt_valid: (G,)
@@ -224,19 +289,29 @@ class TargetAssigner:
             gen_keys = list(jax.random.split(rng, len(self._anchors_by_class)))
         else:
             gen_keys = [None] * len(self._anchors_by_class)
+        if anchors_mask is not None:
+            total_loc = sum(a.shape[-2] for a in self._anchors_by_class)
+            mask_by_loc = anchors_mask.reshape(fz, fy, fx, total_loc)
 
         labels_list, targets_list, weights_list = [], [], []
+        loc_offset = 0
         for gen_anchors, (mt, ut), cid, key in zip(
                 self._anchors_by_class, self._thresholds, class_ids, gen_keys):
             num_loc = gen_anchors.shape[-2]
             flat_anchors = jnp.asarray(gen_anchors.reshape(-1, gen_anchors.shape[-1]))
             cls_mask = gt_valid & (gt_classes == cid)
+            gen_amask = None
+            if anchors_mask is not None:
+                gen_amask = mask_by_loc[
+                    ..., loc_offset:loc_offset + num_loc].reshape(-1)
+            loc_offset += num_loc
             labels, targets, weights = create_target(
                 flat_anchors, gt_boxes, cls_mask, gt_classes, sim_fn,
                 self.box_coder.encode, mt, ut, code,
                 positive_fraction=(self.positive_fraction
                                    if key is not None else None),
-                sample_size=self.sample_size, rng=key)
+                sample_size=self.sample_size, rng=key,
+                anchors_mask=gen_amask)
             labels_list.append(labels.reshape(fz, fy, fx, num_loc))
             targets_list.append(targets.reshape(fz, fy, fx, num_loc, code))
             weights_list.append(weights.reshape(fz, fy, fx, num_loc))
@@ -266,6 +341,7 @@ def build_target_assigners(target_assigner_cfg, box_coder, tasks) -> List[Target
     sim_type = target_assigner_cfg["region_similarity_calculator"]["type"]
     pos_fraction = target_assigner_cfg.get("sample_positive_fraction", None)
     sample_size = target_assigner_cfg.get("sample_size", 512)
+    area_threshold = target_assigner_cfg.get("pos_area_threshold", -1)
 
     assigners = []
     idx = 0
@@ -277,6 +353,8 @@ def build_target_assigners(target_assigner_cfg, box_coder, tasks) -> List[Target
             similarity=sim_type,
             positive_fraction=pos_fraction,
             sample_size=sample_size,
+            anchor_area_threshold=float(area_threshold
+                                        if area_threshold is not None else -1),
         ))
         idx += n
     return assigners

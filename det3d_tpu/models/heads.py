@@ -296,6 +296,13 @@ class MultiGroupHead(nn.Module):
             dir_labels = jnp.zeros(cls_preds.shape[:2], jnp.int32)
 
         total_scores = jax.nn.sigmoid(cls_preds)
+        amask = example.get("anchors_mask", None)
+        if amask is not None and amask[task_id] is not None:
+            # reference get_task_detections prunes predictions outside the
+            # occupancy mask before NMS (mg_head.py:728-774)
+            total_scores = jnp.where(
+                amask[task_id].reshape(batch, -1)[..., None],
+                total_scores, 0.0)
         if use_multi_class and num_class > 1:
             # per-class NMS (reference box_torch_ops.multiclass_nms via
             # get_task_detections): run the class-agnostic path once per

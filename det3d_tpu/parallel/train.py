@@ -83,23 +83,34 @@ def build_example(batch: Dict[str, jnp.ndarray],
     if with_targets:
         example.update({"labels": [], "reg_targets": [], "reg_weights": []})
 
+    use_amask = any(a.anchor_area_threshold >= 0 for a in assigners)
+    if use_amask:
+        example["anchors_mask"] = []
+        grid = voxel_generator.grid_size
+
     for t, (assigner, class_ids) in enumerate(
             zip(assigners, class_ids_per_task)):
         anchors = jnp.asarray(assigner.anchors_flat)          # (A, nd)
         example["anchors"].append(
             jnp.broadcast_to(anchors[None], (batch_size, *anchors.shape)))
+        amask = None
+        if use_amask and assigner.anchor_area_threshold >= 0:
+            amask = jax.vmap(
+                lambda co: assigner.anchors_mask(co, grid))(vox["coords"])
+        if use_amask:
+            example["anchors_mask"].append(amask)
         if with_targets:
             assign = functools.partial(assigner.assign,
                                        class_ids=tuple(class_ids))
+            kwargs = {}
+            if amask is not None:
+                kwargs["anchors_mask"] = amask
             if rng is not None and assigner.positive_fraction is not None:
-                keys = jax.random.split(
+                kwargs["rng"] = jax.random.split(
                     jax.random.fold_in(rng, t), batch_size)
-                labels, targets, weights = jax.vmap(assign)(
-                    batch["gt_boxes"], batch["gt_classes"],
-                    batch["gt_valid"], rng=keys)
-            else:
-                labels, targets, weights = jax.vmap(assign)(
-                    batch["gt_boxes"], batch["gt_classes"], batch["gt_valid"])
+            labels, targets, weights = jax.vmap(assign)(
+                batch["gt_boxes"], batch["gt_classes"], batch["gt_valid"],
+                **kwargs)
             example["labels"].append(labels)
             example["reg_targets"].append(targets)
             example["reg_weights"].append(weights)

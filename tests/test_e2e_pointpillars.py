@@ -11,7 +11,8 @@ from det3d_tpu.core.target import TargetAssigner
 from det3d_tpu.core.voxelize import VoxelGenerator
 from det3d_tpu.models.builder import build_detector
 from det3d_tpu.parallel.mesh import make_mesh
-from det3d_tpu.parallel.train import (TrainState, make_predict_step,
+from det3d_tpu.parallel.train import (TrainState, build_example,
+                                      make_predict_step,
                                       make_train_step)
 from det3d_tpu.solver import build_optimizer, one_cycle
 
@@ -221,3 +222,39 @@ def test_predict_step_on_mesh_matches_unsharded(stack, rng):
                                rtol=0, atol=1e-5)
     np.testing.assert_allclose(out_p["box3d_lidar"][v],
                                out_s["box3d_lidar"][v], rtol=0, atol=1e-4)
+
+
+def test_anchors_mask_end_to_end(stack, rng):
+    """pos_area_threshold >= 0 flows through train and predict: empty-area
+    anchors are pruned from targets and suppressed in detections."""
+    model, voxel_gen, assigners, class_ids, test_cfg = stack
+    for a in assigners:
+        object.__setattr__(a, "anchor_area_threshold", 0.0)
+        a.prepare_anchors_mask(voxel_gen.voxel_size,
+                               voxel_gen.point_cloud_range,
+                               voxel_gen.grid_size)
+    try:
+        batch = _synth_scene(rng, batch=2)
+        jbatch = {k: jnp.asarray(v) for k, v in batch.items()}
+        example = build_example(jbatch, voxel_gen, assigners, class_ids,
+                                with_targets=True)
+        assert "anchors_mask" in example
+        amask = np.asarray(example["anchors_mask"][0])
+        assert amask.shape == (2, example["anchors"][0].shape[1])
+        assert amask.any() and not amask.all()
+        labels = np.asarray(example["labels"][0])
+        assert np.all(labels[~amask] == -1)
+
+        state = _init_state(model, voxel_gen, batch)
+        train_step = make_train_step(model, voxel_gen, assigners, class_ids)
+        state2, metrics = train_step(state, jbatch)
+        assert np.isfinite(float(metrics["loss"]))
+
+        predict_step = make_predict_step(model, voxel_gen, assigners,
+                                         class_ids, test_cfg)
+        out = predict_step(state2, jbatch)
+        assert out["valid"].shape[0] == 2   # runs with the mask plumbed in
+    finally:
+        for a in assigners:
+            object.__setattr__(a, "anchor_area_threshold", -1.0)
+            a._mask_cells = None

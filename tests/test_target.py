@@ -181,3 +181,69 @@ def test_positive_fraction_subsampling(rng):
         *args, positive_fraction=frac, sample_size=sample_size,
         rng=jax.random.PRNGKey(8))
     assert not np.array_equal(labels, np.asarray(labels3))
+
+
+def test_anchors_mask_matches_numba_oracle(rng):
+    """anchors_mask must replicate sparse_sum_for_anchors_mask +
+    fused_get_anchors_area (box_np_ops.py:1280-1310) bit-for-bit, including
+    the inclusive-integral window convention."""
+    import jax
+    import jax.numpy as jnp
+
+    gen, anchors = _make_anchors()
+    assigner = TargetAssigner(box_coder=GroundBox3dCoder(),
+                              anchor_generators=[gen],
+                              anchor_area_threshold=1.0)
+    assigner.generate_anchors([1, 10, 20])
+    voxel_size = (1.0, 1.0, 2.0)
+    pc_range = (0.0, -10.0, -3.0, 20.0, 10.0, 1.0)
+    grid = (20, 20, 2)
+    assigner.prepare_anchors_mask(voxel_size, pc_range, grid)
+
+    # random sparse occupancy, zyx coords with padding rows
+    V = 64
+    n = 40
+    co = np.stack([rng.randint(0, 2, n), rng.randint(0, 20, n),
+                   rng.randint(0, 20, n)], -1).astype(np.int32)
+    co = np.concatenate([co, np.full((V - n, 3), -1, np.int32)])
+
+    mask = np.asarray(assigner.anchors_mask(jnp.asarray(co), grid))
+
+    # ---- numpy oracle: the numba kernels, verbatim semantics ----
+    dense = np.zeros((20, 20), np.float32)
+    for i in range(n):
+        dense[co[i, 1], co[i, 2]] += 1
+    dense = dense.cumsum(0).cumsum(1)
+
+    from det3d_tpu.core import box_ops
+    bv = np.asarray(box_ops.rbbox2d_to_near_bbox(
+        anchors[:, [0, 1, 3, 4, -1]]))
+    area = np.zeros(len(bv))
+    for i in range(len(bv)):
+        x0 = max(int(np.floor((bv[i, 0] - pc_range[0]) / voxel_size[0])), 0)
+        y0 = max(int(np.floor((bv[i, 1] - pc_range[1]) / voxel_size[1])), 0)
+        x1 = min(int(np.floor((bv[i, 2] - pc_range[0]) / voxel_size[0])),
+                 grid[0] - 1)
+        y1 = min(int(np.floor((bv[i, 3] - pc_range[1]) / voxel_size[1])),
+                 grid[1] - 1)
+        area[i] = dense[y1, x1] - dense[y1, x0] - dense[y0, x1] + dense[y0, x0]
+    oracle = area > 1.0
+
+    np.testing.assert_array_equal(mask, oracle)
+    assert mask.any() and not mask.all()   # non-trivial scenario
+
+    # pruned anchors must come out with label -1 even where gt matches
+    G = 4
+    gt = np.zeros((G, 7), np.float32)
+    gt[:, 0] = [3, 8, 12, 17]
+    gt[:, 1] = [-5, 0, 5, -2]
+    gt[:, 2] = -1.0
+    gt[:, 3:6] = [1.6, 3.9, 1.56]
+    coder = GroundBox3dCoder()
+    labels_m, _, w_m = create_target(
+        jnp.asarray(anchors), jnp.asarray(gt), jnp.ones((G,), bool),
+        jnp.ones((G,), np.int32), nearest_iou_similarity, coder.encode,
+        0.3, 0.2, 7, anchors_mask=jnp.asarray(mask))
+    labels_m = np.asarray(labels_m)
+    assert np.all(labels_m[~mask] == -1)
+    assert np.all(np.asarray(w_m)[~mask] == 0)
