@@ -208,3 +208,30 @@ def mini_config(data_root: str, total_epochs=2, samples_per_gpu=2,
         total_epochs=total_epochs, workflow=[("train", 1)],
         tensorboard=False,
     )
+
+
+def mini_second_config(data_root: str, total_epochs=2, samples_per_gpu=2,
+                       workers=0):
+    """Small SECOND (VoxelNet + SpMiddleFHD sparse middle) config in the
+    reference schema — the sparse-family twin of mini_config, mirroring
+    examples/second/configs/kitti_car_vfev3_spmiddlefhd_rpn1_mghead_syncbn.py
+    at mini scale (z grid of 40 so the 4 sparse stages reduce 41->2)."""
+    cfg = mini_config(data_root, total_epochs=total_epochs,
+                      samples_per_gpu=samples_per_gpu, workers=workers)
+    pc_range = [0, -20.0, -3, 40.0, 20.0, 1]
+    voxel_size = [0.2, 0.2, 0.1]
+    cfg["voxel_generator"] = dict(range=pc_range, voxel_size=voxel_size,
+                                  max_points_in_voxel=5, max_voxel_num=8000)
+    head = cfg["model"]["bbox_head"]
+    head = dict(head, in_channels=64)
+    cfg["model"] = dict(
+        type="VoxelNet",
+        reader=dict(type="VoxelFeatureExtractorV3", num_input_features=4),
+        backbone=dict(type="SpMiddleFHD", num_input_features=4, ds_factor=8),
+        neck=dict(type="RPN", layer_nums=[2], ds_layer_strides=[1],
+                  ds_num_filters=[64], us_layer_strides=[1],
+                  us_num_filters=[64], num_input_features=128),
+        bbox_head=head)
+    cfg["assigner"] = dict(cfg["assigner"], out_size_factor=8)
+    cfg["test_cfg"] = dict(cfg["test_cfg"])
+    return cfg

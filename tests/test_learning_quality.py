@@ -34,3 +34,23 @@ def test_trains_to_detection_quality(tmp_path_factory):
     assert detail["Car_3d_easy_loose"] > 40.0, detail
     # and the strict bbox AP shows localization, not box spam
     assert detail["Car_bbox_easy"] > 40.0, detail
+
+
+@pytest.mark.slow
+def test_sparse_family_trains_to_detection_quality(tmp_path_factory):
+    """Same gate for the sparse-middle (SECOND) family: catches rulebook /
+    gather-GEMM training-path regressions where they live."""
+    root = tmp_path_factory.mktemp("learn_kitti_second")
+    mk.make_tree(root, n_scenes=16)
+    cfg = mk.mini_second_config(str(root), total_epochs=150, workers=2)
+    cfg["checkpoint_interval"] = 150
+    cfg["log_interval"] = 100
+    cfg["scale_batch_by_devices"] = False
+
+    from det3d_tpu.apis import eval_detector, train_detector
+    work = tmp_path_factory.mktemp("learn_second_work")
+    trainer = train_detector(cfg, work_dir=str(work))
+    results, dets = eval_detector(cfg, trainer.state, work_dir=str(work))
+    detail = results["detail"]["eval.kitti"]["official"]
+    assert detail["Car_3d_easy_loose"] > 40.0, detail
+    assert detail["Car_bbox_easy"] > 40.0, detail

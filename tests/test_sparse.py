@@ -225,3 +225,4 @@ def test_native_kernels_match_numpy(rng):
     nat = csrc.intersection_area(pa, pb)
     ref = augment.intersection_area_corners(pa, pb)
     np.testing.assert_allclose(nat, ref, rtol=1e-9, atol=1e-9)
+
