@@ -81,7 +81,7 @@ def build_stack(cfg):
 
 
 def init_state(cfg, model, voxel_gen, sample_batch, total_steps,
-               rng_seed=0):
+               rng_seed=0, steps_per_epoch=1):
     example = build_example(sample_batch, voxel_gen, [], [],
                             with_targets=False)
     # jit the init: eager tracing dispatches thousands of tiny ops (minutes
@@ -89,7 +89,10 @@ def init_state(cfg, model, voxel_gen, sample_batch, total_steps,
     variables = jax.jit(model.init, static_argnames=("train",))(
         jax.random.PRNGKey(rng_seed), example["voxels"],
         example["num_points_per_voxel"], example["coordinates"], train=False)
-    lr_fn, mom_fn = build_lr_schedule(cfg["lr_config"], total_steps)
+    base_lr = cfg["optimizer"].get("VALUE", {}).get("lr")
+    lr_fn, mom_fn = build_lr_schedule(cfg["lr_config"], total_steps,
+                                      steps_per_epoch=steps_per_epoch,
+                                      base_lr=base_lr)
     tx = build_optimizer(cfg["optimizer"], lr_fn, mom_fn)
     state = TrainState.create(variables["params"],
                               variables.get("batch_stats", {}), tx)
@@ -123,7 +126,7 @@ def train_detector(cfg, work_dir: Optional[str] = None,
 
     first = batch_to_device(next(iter(loader)))
     state, lr_fn = init_state(cfg, model, voxel_gen, first, total_steps,
-                              rng_seed=seed)
+                              rng_seed=seed, steps_per_epoch=len(loader))
 
     mesh = (make_mesh()
             if use_mesh and n_dev > 1 and batch_size % n_dev == 0

@@ -122,6 +122,70 @@ class AnchorGeneratorRange(_AnchorGeneratorBase):
             self.velocities, self.dtype)
 
 
+def create_anchors_bev_range(feature_size, anchor_range, sizes=(1.6, 3.9),
+                             rotations=(0, np.pi / 2), velocities=None,
+                             dtype=np.float32):
+    """BEV (z-free) anchors: [x, y, w, l, (vx, vy,) rot] per cell.
+
+    feature_size is [H, W] (yx); anchor_range is [xmin, ymin, xmax, ymax];
+    x/y centers at stride/2 offsets with the stride taken from the x extent
+    for both axes — parity with box_np_ops.py:808-875 (which indexes the
+    4-element range as range[2]-range[0] over W).
+    """
+    anchor_range = np.asarray(anchor_range, dtype)
+    stride = (anchor_range[2] - anchor_range[0]) / feature_size[1]
+    y_centers = np.linspace(anchor_range[1], anchor_range[3], feature_size[0],
+                            endpoint=False, dtype=dtype) + stride / 2
+    x_centers = np.linspace(anchor_range[0], anchor_range[2], feature_size[1],
+                            endpoint=False, dtype=dtype) + stride / 2
+    rotations = np.asarray(rotations, dtype=dtype)
+    sizes = np.reshape(np.asarray(sizes, dtype=dtype), [-1, 2])
+    if velocities is not None:
+        velocities = np.asarray(velocities, dtype=dtype).reshape([-1, 2])
+        combines = np.hstack([sizes, velocities]).reshape([-1, 4])
+    else:
+        combines = sizes
+    rets = list(np.meshgrid(x_centers, y_centers, rotations, indexing="ij"))
+    n_size = sizes.shape[0]
+    for i in range(len(rets)):
+        rets[i] = np.tile(rets[i][:, :, np.newaxis, :, np.newaxis],
+                          [1, 1, n_size, 1, 1])
+    combines = np.tile(
+        np.reshape(combines, [1, 1, -1, 1, combines.shape[-1]]),
+        [rets[0].shape[0], rets[0].shape[1], 1, rets[0].shape[3], 1])
+    rets.insert(2, combines)
+    ret = np.concatenate(rets, axis=-1)
+    return np.transpose(ret, [1, 0, 2, 3, 4])
+
+
+@ANCHOR_GENERATORS.register_module(name="bev_anchor_generator_range")
+@dataclass
+class BevAnchorGeneratorRange(_AnchorGeneratorBase):
+    """2D BEV anchors (w, l sizes, no z/h) for BevBoxCoder configs.
+    Parity: anchor_generator.py:120-174 + builder.py:479-492."""
+    sizes: Sequence[float] = (1.6, 3.9)
+    anchor_ranges: Sequence[float] = field(default_factory=list)
+
+    @property
+    def num_anchors_per_localization(self) -> int:
+        num_rot = len(self.rotations)
+        num_size = np.asarray(self.sizes).reshape([-1, 2]).shape[0]
+        return num_rot * num_size
+
+    @property
+    def ndim(self) -> int:
+        return 5 if self.velocities is None else 7
+
+    def generate(self, feature_map_size):
+        # feature_map_size arrives as [D(=1), H, W]; BEV grids ignore D
+        fm = list(feature_map_size)
+        if len(fm) == 3:
+            fm = fm[1:]
+        return create_anchors_bev_range(
+            fm, self.anchor_ranges, self.sizes, self.rotations,
+            self.velocities, self.dtype)
+
+
 @ANCHOR_GENERATORS.register_module(name="anchor_generator_stride")
 @dataclass
 class AnchorGeneratorStride(_AnchorGeneratorBase):
@@ -208,10 +272,18 @@ class BevBoxCoder:
     def code_size(self) -> int:
         return 6 if self.vec_encode else 5
 
+    @staticmethod
+    def _bev_view(arr):
+        """[x y w l r] view: 5-dim arrays (BevAnchorGeneratorRange output)
+        pass through; 3D [x y z w l h r(...)] layouts select the BEV dims."""
+        if arr.shape[-1] == 5:
+            return arr
+        return arr[..., [0, 1, 3, 4, arr.shape[-1] - 1]]
+
     def encode(self, boxes, anchors):
         xp = jnp
-        b = boxes[..., [0, 1, 3, 4, boxes.shape[-1] - 1]]
-        a = anchors[..., [0, 1, 3, 4, anchors.shape[-1] - 1]]
+        b = self._bev_view(boxes)
+        a = self._bev_view(anchors)
         diag = xp.sqrt(a[..., 2] ** 2 + a[..., 3] ** 2)
         xt = (b[..., 0] - a[..., 0]) / diag
         yt = (b[..., 1] - a[..., 1]) / diag
@@ -230,7 +302,7 @@ class BevBoxCoder:
 
     def decode(self, encodings, anchors):
         xp = jnp
-        a = anchors[..., [0, 1, 3, 4, anchors.shape[-1] - 1]]
+        a = self._bev_view(anchors)
         diag = xp.sqrt(a[..., 2] ** 2 + a[..., 3] ** 2)
         x = encodings[..., 0] * diag + a[..., 0]
         y = encodings[..., 1] * diag + a[..., 1]

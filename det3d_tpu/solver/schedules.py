@@ -85,10 +85,107 @@ def manual_stepping(total_step: int, boundaries: Sequence[float],
     return lr_fn
 
 
-def build_lr_schedule(lr_config: dict, total_step: int):
+# ---------------------------------------------------------------------------
+# mmcv-style LR policy zoo (reference torchie/trainer/hooks/lr_updater.py).
+#
+# The reference mutates optimizer.param_groups from a hook; here every policy
+# is a pure ``step -> lr`` function so the whole schedule lives inside the
+# jitted update (optax.inject_hyperparams) — no host round-trip per step.
+# Epoch-based policies take steps_per_epoch and floor-divide, matching the
+# reference's by_epoch=True progress counting.
+# ---------------------------------------------------------------------------
+
+
+def fixed_lr(base_lr: float) -> Callable:
+    """Parity: lr_updater.py FixedLrUpdaterHook (:86-91)."""
+    def lr_fn(step):
+        return jnp.full_like(jnp.asarray(step, jnp.float32), base_lr)
+    return lr_fn
+
+
+def step_lr(base_lr: float, step_points: Sequence[int] | int,
+            gamma: float = 0.1, steps_per_epoch: int = 1) -> Callable:
+    """lr = base * gamma^(#milestones passed). Milestones in epochs.
+    Parity: lr_updater.py StepLrUpdaterHook (:94-120)."""
+    def lr_fn(step):
+        progress = jnp.asarray(step, jnp.float32) // steps_per_epoch
+        if isinstance(step_points, int):
+            exp = jnp.floor(progress / step_points)
+        else:
+            bounds = jnp.asarray(step_points, jnp.float32)
+            exp = jnp.sum(progress >= bounds).astype(jnp.float32)
+        return base_lr * jnp.power(gamma, exp)
+    return lr_fn
+
+
+def exp_lr(base_lr: float, gamma: float, steps_per_epoch: int = 1) -> Callable:
+    """Parity: lr_updater.py ExpLrUpdaterHook (:123-130)."""
+    def lr_fn(step):
+        progress = jnp.asarray(step, jnp.float32) // steps_per_epoch
+        return base_lr * jnp.power(gamma, progress)
+    return lr_fn
+
+
+def poly_lr(base_lr: float, total_step: int, power: float = 1.0,
+            min_lr: float = 0.0) -> Callable:
+    """Parity: lr_updater.py PolyLrUpdaterHook (:133-147)."""
+    def lr_fn(step):
+        pct = jnp.clip(jnp.asarray(step, jnp.float32) / total_step, 0.0, 1.0)
+        return (base_lr - min_lr) * jnp.power(1.0 - pct, power) + min_lr
+    return lr_fn
+
+
+def inv_lr(base_lr: float, gamma: float, power: float = 1.0,
+           steps_per_epoch: int = 1) -> Callable:
+    """Parity: lr_updater.py InvLrUpdaterHook (:150-158)."""
+    def lr_fn(step):
+        progress = jnp.asarray(step, jnp.float32) // steps_per_epoch
+        return base_lr * jnp.power(1.0 + gamma * progress, -power)
+    return lr_fn
+
+
+def cosine_lr(base_lr: float, total_step: int, target_lr: float = 0.0,
+              ) -> Callable:
+    """Parity: lr_updater.py CosineLrUpdaterHook (:161-175)."""
+    def lr_fn(step):
+        pct = jnp.clip(jnp.asarray(step, jnp.float32) / total_step, 0.0, 1.0)
+        return target_lr + 0.5 * (base_lr - target_lr) * (
+            1.0 + jnp.cos(jnp.pi * pct))
+    return lr_fn
+
+
+def with_warmup(lr_fn: Callable, warmup: str, warmup_iters: int,
+                warmup_ratio: float = 0.1) -> Callable:
+    """Wrap a policy with constant/linear/exp warmup over warmup_iters.
+    Parity: lr_updater.py get_warmup_lr (:43-53)."""
+    if warmup not in ("constant", "linear", "exp"):
+        raise ValueError(f"unsupported warmup {warmup!r}")
+    assert warmup_iters > 0 and 0 < warmup_ratio <= 1.0
+
+    def warmed(step):
+        step = jnp.asarray(step, jnp.float32)
+        regular = lr_fn(step)
+        pct = jnp.clip(step / warmup_iters, 0.0, 1.0)
+        if warmup == "constant":
+            k = jnp.full_like(pct, warmup_ratio)
+        elif warmup == "linear":
+            k = 1.0 - (1.0 - pct) * (1.0 - warmup_ratio)
+        else:  # exp
+            k = jnp.power(warmup_ratio, 1.0 - pct)
+        return jnp.where(step < warmup_iters, regular * k, regular)
+
+    return warmed
+
+
+def build_lr_schedule(lr_config: dict, total_step: int,
+                      steps_per_epoch: int = 1, base_lr: float = None):
     """Map reference lr_config dicts to (lr_fn, mom_fn|None).
-    Parity: det3d/builder.py:191-241."""
-    kind = lr_config["type"]
+
+    Accepts both the fastai-style ``type=`` schedules (det3d/builder.py:191-241)
+    and the mmcv-style ``policy=`` zoo with warmup (hooks/lr_updater.py:10-175);
+    the latter needs ``base_lr`` (the optimizer's lr in the reference).
+    """
+    kind = lr_config.get("type") or lr_config.get("policy")
     if kind == "one_cycle":
         return one_cycle(lr_config["lr_max"], total_step,
                          lr_config.get("moms", (0.95, 0.85)),
@@ -102,4 +199,31 @@ def build_lr_schedule(lr_config: dict, total_step: int):
     if kind == "manual_stepping":
         return (manual_stepping(total_step, lr_config["boundaries"],
                                 lr_config["rates"]), None)
-    raise ValueError(f"unknown lr schedule {kind}")
+
+    # mmcv policy zoo
+    spe = steps_per_epoch if lr_config.get("by_epoch", True) else 1
+    if base_lr is None:
+        base_lr = lr_config.get("base_lr")
+    if base_lr is None:
+        raise ValueError(f"policy {kind!r} needs base_lr")
+    if kind in ("fixed", "Fixed"):
+        fn = fixed_lr(base_lr)
+    elif kind in ("step", "Step"):
+        fn = step_lr(base_lr, lr_config["step"], lr_config.get("gamma", 0.1),
+                     spe)
+    elif kind in ("exp", "Exp"):
+        fn = exp_lr(base_lr, lr_config["gamma"], spe)
+    elif kind in ("poly", "Poly"):
+        fn = poly_lr(base_lr, total_step, lr_config.get("power", 1.0),
+                     lr_config.get("min_lr", 0.0))
+    elif kind in ("inv", "Inv"):
+        fn = inv_lr(base_lr, lr_config["gamma"], lr_config.get("power", 1.0),
+                    spe)
+    elif kind in ("cosine", "Cosine"):
+        fn = cosine_lr(base_lr, total_step, lr_config.get("target_lr", 0.0))
+    else:
+        raise ValueError(f"unknown lr schedule {kind}")
+    if lr_config.get("warmup") is not None:
+        fn = with_warmup(fn, lr_config["warmup"], lr_config["warmup_iters"],
+                         lr_config.get("warmup_ratio", 0.1))
+    return fn, None

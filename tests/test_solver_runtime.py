@@ -86,3 +86,64 @@ def test_tfevents_writer_readable_by_tensorboard(tmp_path):
     assert abs(loss[4].value - 6.0) < 1e-6
     lr = acc.Scalars("train/lr")
     assert abs(lr[2].value - 3e-3) < 1e-9
+
+
+def test_mmcv_policy_zoo():
+    """Policies match the reference hook formulas (hooks/lr_updater.py).
+
+    Oracle: hand-evaluated get_lr at specific progress points, with
+    by_epoch=True progress = step // steps_per_epoch.
+    """
+    from det3d_tpu.solver.schedules import (cosine_lr, exp_lr, fixed_lr,
+                                            inv_lr, poly_lr, step_lr,
+                                            with_warmup)
+
+    assert abs(float(fixed_lr(0.02)(123)) - 0.02) < 1e-9
+
+    # step: milestones [8, 11] epochs, gamma 0.1, 10 steps/epoch
+    fn = step_lr(0.01, [8, 11], gamma=0.1, steps_per_epoch=10)
+    assert abs(float(fn(0)) - 0.01) < 1e-9
+    assert abs(float(fn(79)) - 0.01) < 1e-9       # epoch 7
+    assert abs(float(fn(80)) - 0.001) < 1e-9      # epoch 8
+    assert abs(float(fn(110)) - 0.0001) < 1e-10   # epoch 11
+    # int milestone: gamma^(progress // step)
+    fn = step_lr(0.01, 3, gamma=0.5, steps_per_epoch=1)
+    assert abs(float(fn(7)) - 0.01 * 0.5 ** 2) < 1e-9
+
+    fn = exp_lr(0.01, 0.9, steps_per_epoch=5)
+    assert abs(float(fn(10)) - 0.01 * 0.9 ** 2) < 1e-9
+
+    fn = poly_lr(0.01, total_step=100, power=2.0, min_lr=0.001)
+    assert abs(float(fn(0)) - 0.01) < 1e-8
+    assert abs(float(fn(50)) - ((0.01 - 0.001) * 0.25 + 0.001)) < 1e-8
+    assert abs(float(fn(100)) - 0.001) < 1e-8
+
+    fn = inv_lr(0.01, gamma=0.1, power=0.75)
+    assert abs(float(fn(20)) - 0.01 * 3.0 ** -0.75) < 1e-8
+
+    fn = cosine_lr(0.01, total_step=100, target_lr=0.002)
+    assert abs(float(fn(0)) - 0.01) < 1e-8
+    assert abs(float(fn(50)) - (0.002 + 0.5 * 0.008)) < 1e-8
+    assert abs(float(fn(100)) - 0.002) < 1e-8
+
+    # warmups scale the regular lr below warmup_iters, exact at/after it
+    base = fixed_lr(0.01)
+    wc = with_warmup(base, "constant", 10, 0.25)
+    assert abs(float(wc(3)) - 0.0025) < 1e-9
+    assert abs(float(wc(10)) - 0.01) < 1e-9
+    wl = with_warmup(base, "linear", 10, 0.1)
+    # k = 1 - (1 - cur/iters)(1 - ratio) at cur=5: 1 - 0.5*0.9 = 0.55
+    assert abs(float(wl(5)) - 0.0055) < 1e-9
+    we = with_warmup(base, "exp", 10, 0.1)
+    assert abs(float(we(5)) - 0.01 * 0.1 ** 0.5) < 1e-9
+
+
+def test_build_lr_schedule_policy_dispatch():
+    lr_fn, mom_fn = build_lr_schedule(
+        dict(policy="step", step=[8, 11], warmup="linear", warmup_iters=5,
+             warmup_ratio=1.0 / 3), total_step=130, steps_per_epoch=10,
+        base_lr=0.02)
+    assert mom_fn is None
+    assert float(lr_fn(0)) < 0.02 * 0.5          # warmup active
+    assert abs(float(lr_fn(50)) - 0.02) < 1e-9   # regular, epoch 5
+    assert abs(float(lr_fn(85)) - 0.002) < 1e-9  # after first milestone

@@ -247,3 +247,59 @@ def test_anchors_mask_matches_numba_oracle(rng):
     labels_m = np.asarray(labels_m)
     assert np.all(labels_m[~mask] == -1)
     assert np.all(np.asarray(w_m)[~mask] == 0)
+
+
+def test_bev_anchor_generator_range():
+    """BEV anchors: layout/centers vs a direct construction, and the
+    BevBoxCoder round-trips against them (anchor_generator.py:120-174)."""
+    import jax.numpy as jnp
+
+    from det3d_tpu.core.anchors import (BevAnchorGeneratorRange, BevBoxCoder,
+                                        create_anchors_bev_range)
+
+    gen = BevAnchorGeneratorRange(
+        anchor_ranges=[0.0, -4.0, 8.0, 4.0], sizes=[1.6, 3.9],
+        rotations=[0.0, np.pi / 2], class_name="Car",
+        match_threshold=0.6, unmatch_threshold=0.45)
+    assert gen.ndim == 5
+    assert gen.num_anchors_per_localization == 2
+
+    H, W = 4, 8
+    anchors = gen.generate([1, H, W])
+    assert anchors.shape == (H, W, 1, 2, 5)
+    stride = 8.0 / W
+    # centers at stride/2 offsets, x fastest in the W axis
+    np.testing.assert_allclose(anchors[0, 0, 0, 0],
+                               [stride / 2, -4.0 + stride / 2, 1.6, 3.9, 0.0],
+                               atol=1e-6)
+    np.testing.assert_allclose(anchors[0, 1, 0, 0, 0], 3 * stride / 2,
+                               atol=1e-6)
+    # y spacing is (ymax - ymin) / H; only the half-offset uses the x stride
+    # (reference box_np_ops.py:827-848 idiosyncrasy)
+    np.testing.assert_allclose(anchors[1, 0, 0, 0, 1],
+                               -4.0 + 8.0 / H + stride / 2, atol=1e-6)
+    assert abs(anchors[0, 0, 0, 1, -1] - np.pi / 2) < 1e-6
+
+    # velocity variant appends (vx, vy) before rotation
+    gen_v = BevAnchorGeneratorRange(
+        anchor_ranges=[0.0, -4.0, 8.0, 4.0], sizes=[1.6, 3.9],
+        velocities=[0.1, -0.2], rotations=[0.0])
+    av = gen_v.generate([1, H, W])
+    assert av.shape == (H, W, 1, 1, 7)
+    np.testing.assert_allclose(av[0, 0, 0, 0, 4:6], [0.1, -0.2], atol=1e-6)
+
+    # 2D function matches the class path
+    direct = create_anchors_bev_range([H, W], [0.0, -4.0, 8.0, 4.0],
+                                      [1.6, 3.9], [0.0, np.pi / 2])
+    np.testing.assert_allclose(anchors, direct)
+
+    # coder round-trip on 5-dim BEV anchors
+    coder = BevBoxCoder(z_fixed=-1.0, h_fixed=1.7)
+    flat = jnp.asarray(anchors.reshape(-1, 5))
+    boxes = flat.at[:, :2].add(0.5).at[:, 2:4].mul(1.2).at[:, 4].add(0.3)
+    enc = coder.encode(boxes, flat)
+    dec = np.asarray(coder.decode(enc, flat))
+    np.testing.assert_allclose(dec[:, [0, 1, 3, 4, 6]], np.asarray(boxes),
+                               rtol=1e-4, atol=1e-5)
+    np.testing.assert_allclose(dec[:, 2], -1.0)
+    np.testing.assert_allclose(dec[:, 5], 1.7)
