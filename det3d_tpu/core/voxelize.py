@@ -37,16 +37,24 @@ _SENTINEL = np.iinfo(np.int32).max
 
 
 @partial(jax.jit, static_argnames=("voxel_size", "pc_range", "grid_size",
-                                   "max_voxels", "max_points"))
+                                   "max_voxels", "max_points", "order"))
 def voxelize(points, num_points, *, voxel_size: Tuple[float, ...],
              pc_range: Tuple[float, ...], grid_size: Tuple[int, int, int],
-             max_voxels: int, max_points: int):
+             max_voxels: int, max_points: int, order: str = "appearance"):
     """Voxelize one padded point cloud.
 
     points: (P, C) float32, first 3 channels are xyz; rows >= num_points are
       padding and ignored.
     num_points: scalar int32 count of valid rows.
     grid_size: (gx, gy, gz) ints.
+    order: voxel row ordering. "appearance" reproduces the reference numba
+      kernel's first-come ordering exactly (costs an extra sort + three
+      P-row scatter/gathers). "hashed" emits voxels in bijective-hash key
+      order — every consumer in the framework (canvas scatter, rulebooks,
+      masked BN) is voxel-order invariant, the overflow-kept subset is
+      spatially uniform, and this path issues ~half the descriptor-bound
+      P-row ops (measured ~2x faster at KITTI scale).
+      Point order WITHIN a voxel is original-appearance in both modes.
 
     Returns dict:
       voxels:  (max_voxels, max_points, C) float32
@@ -72,6 +80,10 @@ def voxelize(points, num_points, *, voxel_size: Tuple[float, ...],
     )
     lin = coords[:, 0] + coords[:, 1] * gx + coords[:, 2] * (gx * gy)
     lin = jnp.where(in_range, lin, _SENTINEL)
+
+    if order == "hashed":
+        return _voxelize_hashed(points, lin, (gx, gy, gz), max_voxels,
+                                max_points)
 
     order = jnp.argsort(lin, stable=True)                    # (P,) point perm
     slin = lin[order]
@@ -119,6 +131,84 @@ def voxelize(points, num_points, *, voxel_size: Tuple[float, ...],
     }
 
 
+def _mix32(x):
+    """Murmur3 finalizer: a bijective mix on uint32."""
+    x = x.astype(jnp.uint32)
+    x = x ^ (x >> 16)
+    x = x * jnp.uint32(0x85EBCA6B)
+    x = x ^ (x >> 13)
+    x = x * jnp.uint32(0xC2B2AE35)
+    x = x ^ (x >> 16)
+    return x
+
+
+def _voxelize_hashed(points, lin, grid_size, max_voxels, max_points):
+    """Hashed-key voxel ordering: the descriptor-minimal path.
+
+    P-row (descriptor-bound) ops: one key+payload sort, one point gather,
+    one voxel scatter, one head-payload scatter — vs the appearance path's
+    two sorts + five scatter/gathers. Voxel coords come from delinearizing
+    the carried linear ids (pure arithmetic, no gather); per-voxel counts
+    from consecutive segment start positions (no scatter-add).
+
+    The sort key is a bijective hash of the linear id (linear id itself as
+    the tiebreak key, so equal-id points stay contiguous and segments are
+    exact). On overflow the kept voxels are therefore a UNIFORM pseudo-random
+    subset of the occupied voxels — spatially fair, unlike a plain
+    sorted-linear-id prefix which would keep one corner of the scene. (The
+    appearance path keeps first-come, which is fair only under the train
+    pipeline's point shuffle; the reference numba kernel stops consuming
+    entirely at the cap.)
+    """
+    P, C = points.shape
+    gx, gy, _ = grid_size
+    pos = jnp.arange(P, dtype=jnp.int32)
+
+    key = jnp.where(lin == _SENTINEL, jnp.uint32(0xFFFFFFFF), _mix32(lin))
+    _, sorted_lin, perm = jax.lax.sort((key, lin, pos), num_keys=2)
+    svalid = sorted_lin != _SENTINEL
+    head = svalid & jnp.concatenate(
+        [jnp.ones((1,), bool), sorted_lin[1:] != sorted_lin[:-1]])
+    seg_id = jnp.maximum(jnp.cumsum(head.astype(jnp.int32)) - 1, 0)
+    start = jax.lax.cummax(jnp.where(head, pos, 0))          # segment start
+    slot_p = pos - start
+
+    write = svalid & (seg_id < max_voxels) & (slot_p < max_points)
+    slot_v_w = jnp.where(write, seg_id, max_voxels)
+    slot_p_w = jnp.where(write, slot_p, max_points)
+    voxels = jnp.zeros((max_voxels, max_points, C), points.dtype)
+    voxels = voxels.at[slot_v_w, slot_p_w].set(points[perm], mode="drop")
+
+    # head rows carry (z, y, x, start_pos); coords by delinearizing the key
+    safe = jnp.where(svalid, sorted_lin, 0)
+    xx = safe % gx
+    yy = (safe // gx) % gy
+    zz = safe // (gx * gy)
+    payload = jnp.stack([zz, yy, xx, pos], axis=-1)          # (P, 4) int32
+    tgt = jnp.where(head & (seg_id < max_voxels), seg_id, max_voxels)
+    table = jnp.zeros((max_voxels, 4), jnp.int32).at[tgt].set(
+        payload, mode="drop")
+
+    num_voxels = jnp.minimum(jnp.sum(head.astype(jnp.int32)), max_voxels)
+    vvalid = jnp.arange(max_voxels, dtype=jnp.int32) < num_voxels
+    out_coords = jnp.where(vvalid[:, None], table[:, :3], -1)
+
+    # rows of kept segments form a sorted prefix of length n_kept; counts
+    # are differences of consecutive starts (last kept segment ends there)
+    n_kept = jnp.sum((svalid & (seg_id < max_voxels)).astype(jnp.int32))
+    starts = jnp.where(vvalid, table[:, 3], n_kept)
+    ends = jnp.concatenate([starts[1:], n_kept[None]])
+    counts = jnp.clip(ends - starts, 0, max_points)
+    counts = jnp.where(vvalid, counts, 0).astype(jnp.int32)
+
+    return {
+        "voxels": voxels,
+        "coords": out_coords,
+        "num_points_per_voxel": counts,
+        "num_voxels": num_voxels,
+    }
+
+
 @dataclass(frozen=True)
 class VoxelGenerator:
     """Config-level wrapper mirroring det3d/core/input/voxel_generator.py:5-43.
@@ -130,6 +220,9 @@ class VoxelGenerator:
     point_cloud_range: Sequence[float]
     max_num_points: int
     max_voxels: int = 20000
+    # "hashed" is the TPU-native default (see voxelize docstring); set
+    # "appearance" for bit-exact voxel-row parity with the numba kernel.
+    order: str = "hashed"
 
     @property
     def grid_size(self) -> Tuple[int, int, int]:
@@ -146,6 +239,7 @@ class VoxelGenerator:
             grid_size=self.grid_size,
             max_voxels=int(self.max_voxels),
             max_points=int(self.max_num_points),
+            order=self.order,
         )
 
     def generate_batch(self, points, num_points):
@@ -157,5 +251,6 @@ class VoxelGenerator:
             grid_size=self.grid_size,
             max_voxels=int(self.max_voxels),
             max_points=int(self.max_num_points),
+            order=self.order,
         )
         return jax.vmap(fn)(points, num_points)

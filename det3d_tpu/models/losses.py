@@ -152,3 +152,229 @@ def build_loss(cfg: dict):
     cfg = dict(cfg)
     # reference configs may carry 'name' fields for some losses; keep them
     return build_from_cfg(cfg, LOSSES)
+
+
+# ---------------------------------------------------------------------------
+# Extended loss zoo (registered but unused by the shipped configs, mirroring
+# the reference's surface): GHM-C/GHM-R, BalancedL1, IoU/BoundedIoU,
+# BootstrappedSigmoid.
+# ---------------------------------------------------------------------------
+
+
+@LOSSES.register_module
+@dataclass
+class GHMCLoss:
+    """Gradient-harmonized classification loss (arXiv:1811.05181).
+
+    Parity: ghm_loss.py:17-83 (which its own header flags as broken). The
+    reference's Python bin loop with .item() syncs becomes one vectorized
+    bucketize + bincount pass. ``momentum`` EMA of bin counts is host-side
+    mutable state in the reference; under jit the loss must stay pure, so
+    momentum > 0 falls back to the instantaneous counts (momentum=0
+    semantics) — every reference config that touches GHM uses momentum=0.
+    """
+    bins: int = 10
+    momentum: float = 0.0
+    loss_weight: float = 1.0
+
+    @property
+    def _loss_weight(self):
+        return self.loss_weight
+
+    def __call__(self, pred, target, weights=None):
+        num_class = pred.shape[-1]
+        ce = _sigmoid_cross_entropy_with_logits(labels=target, logits=pred)
+        g = jnp.abs(jax.lax.stop_gradient(jax.nn.sigmoid(pred)) - target)
+        valid = (weights >= 0) if weights is not None else \
+            jnp.ones(pred.shape[:-1], bool)
+        valid = jnp.broadcast_to(valid[..., None], pred.shape)
+        num_examples = jnp.maximum(valid.sum().astype(pred.dtype), 1.0)
+
+        bin_idx = jnp.clip((g * self.bins).astype(jnp.int32), 0,
+                           self.bins - 1)
+        onehot = jax.nn.one_hot(bin_idx, self.bins, dtype=pred.dtype)
+        onehot = onehot * valid.astype(pred.dtype)[..., None]
+        num_in_bin = onehot.reshape(-1, self.bins).sum(0)      # (bins,)
+        nonempty = num_in_bin > 0
+        num_valid_bins = jnp.maximum(nonempty.sum().astype(pred.dtype), 1.0)
+        per_bin_w = jnp.where(nonempty, num_examples /
+                              jnp.where(nonempty, num_in_bin, 1.0), 0.0)
+        w = per_bin_w[bin_idx] * valid.astype(pred.dtype) / num_valid_bins
+        return ce * w
+
+
+@LOSSES.register_module
+@dataclass
+class GHMRLoss:
+    """Gradient-harmonized regression loss (ASL1 base). ghm_loss.py:86-152;
+    same vectorized-binning / pure-momentum notes as GHMCLoss."""
+    mu: float = 0.02
+    bins: int = 10
+    momentum: float = 0.0
+    code_weights: Optional[Sequence[float]] = None
+    loss_weight: float = 1.0
+
+    @property
+    def _loss_weight(self):
+        return self.loss_weight
+
+    def __call__(self, pred, target, weights=None):
+        diff = pred - target
+        asl1 = jnp.sqrt(diff * diff + self.mu * self.mu) - self.mu
+        g = jnp.abs(jax.lax.stop_gradient(
+            diff / jnp.sqrt(self.mu * self.mu + diff * diff)))
+        valid = (weights > 0) if weights is not None else \
+            jnp.ones(pred.shape[:-1], bool)
+        valid = jnp.broadcast_to(valid[..., None], pred.shape)
+        num_examples = jnp.maximum(valid.sum().astype(pred.dtype), 1.0)
+
+        # reference sets edges[-1] = 1e3; g <= 1 so the clip is equivalent
+        bin_idx = jnp.clip((g * self.bins).astype(jnp.int32), 0,
+                           self.bins - 1)
+        onehot = jax.nn.one_hot(bin_idx, self.bins, dtype=pred.dtype)
+        onehot = onehot * valid.astype(pred.dtype)[..., None]
+        num_in_bin = onehot.reshape(-1, self.bins).sum(0)
+        nonempty = num_in_bin > 0
+        num_valid_bins = jnp.maximum(nonempty.sum().astype(pred.dtype), 1.0)
+        per_bin_w = jnp.where(nonempty, num_examples /
+                              jnp.where(nonempty, num_in_bin, 1.0), 0.0)
+        w = per_bin_w[bin_idx] * valid.astype(pred.dtype) / num_valid_bins
+        return asl1 * w
+
+
+@LOSSES.register_module
+@dataclass
+class BalancedL1Loss:
+    """Balanced L1 (Libra R-CNN, arXiv:1904.02701).
+    Parity: balanced_l1_loss.py:10-62."""
+    alpha: float = 0.5
+    gamma: float = 1.5
+    beta: float = 1.0
+    reduction: str = "mean"
+    loss_weight: float = 1.0
+
+    @property
+    def _loss_weight(self):
+        return self.loss_weight
+
+    def __call__(self, pred, target, weights=None):
+        import numpy as _np
+        diff = jnp.abs(pred - target)
+        b = _np.e ** (self.gamma / self.alpha) - 1
+        loss = jnp.where(
+            diff < self.beta,
+            self.alpha / b * (b * diff + 1) * jnp.log(b * diff / self.beta
+                                                      + 1)
+            - self.alpha * diff,
+            self.gamma * diff + self.gamma / b - self.alpha * self.beta)
+        if weights is not None:
+            loss = loss * (weights[..., None]
+                           if weights.ndim == loss.ndim - 1 else weights)
+        return loss
+
+
+def bbox_overlaps_aligned(pred, target, eps=1e-6):
+    """Aligned IoU for (N, 4) [x1 y1 x2 y2] boxes (core bbox_overlaps with
+    is_aligned=True)."""
+    lt = jnp.maximum(pred[..., :2], target[..., :2])
+    rb = jnp.minimum(pred[..., 2:], target[..., 2:])
+    wh = jnp.clip(rb - lt + 1, 0)
+    inter = wh[..., 0] * wh[..., 1]
+    area_p = (pred[..., 2] - pred[..., 0] + 1) * \
+        (pred[..., 3] - pred[..., 1] + 1)
+    area_t = (target[..., 2] - target[..., 0] + 1) * \
+        (target[..., 3] - target[..., 1] + 1)
+    return inter / jnp.maximum(area_p + area_t - inter, eps)
+
+
+@LOSSES.register_module
+@dataclass
+class IoULoss:
+    """-log(IoU) over aligned axis-aligned boxes. Parity: iou_loss.py:9-25,
+    :72-105."""
+    eps: float = 1e-6
+    reduction: str = "mean"
+    loss_weight: float = 1.0
+
+    @property
+    def _loss_weight(self):
+        return self.loss_weight
+
+    def __call__(self, pred, target, weights=None):
+        ious = jnp.clip(bbox_overlaps_aligned(pred, target), self.eps)
+        loss = -jnp.log(ious)
+        if weights is not None:
+            loss = loss * weights
+        return loss
+
+
+@LOSSES.register_module
+@dataclass
+class BoundedIoULoss:
+    """Bounded IoU loss (arXiv:1711.00164). Parity: iou_loss.py:28-69."""
+    beta: float = 0.2
+    eps: float = 1e-3
+    loss_weight: float = 1.0
+
+    @property
+    def _loss_weight(self):
+        return self.loss_weight
+
+    def __call__(self, pred, target, weights=None):
+        pred_ctrx = (pred[..., 0] + pred[..., 2]) * 0.5
+        pred_ctry = (pred[..., 1] + pred[..., 3]) * 0.5
+        pred_w = pred[..., 2] - pred[..., 0] + 1
+        pred_h = pred[..., 3] - pred[..., 1] + 1
+        t = jax.lax.stop_gradient(target)
+        t_ctrx = (t[..., 0] + t[..., 2]) * 0.5
+        t_ctry = (t[..., 1] + t[..., 3]) * 0.5
+        t_w = t[..., 2] - t[..., 0] + 1
+        t_h = t[..., 3] - t[..., 1] + 1
+        dx = t_ctrx - pred_ctrx
+        dy = t_ctry - pred_ctry
+        loss_dx = 1 - jnp.maximum(
+            (t_w - 2 * jnp.abs(dx)) / (t_w + 2 * jnp.abs(dx) + self.eps), 0.0)
+        loss_dy = 1 - jnp.maximum(
+            (t_h - 2 * jnp.abs(dy)) / (t_h + 2 * jnp.abs(dy) + self.eps), 0.0)
+        loss_dw = 1 - jnp.minimum(t_w / (pred_w + self.eps),
+                                  pred_w / (t_w + self.eps))
+        loss_dh = 1 - jnp.minimum(t_h / (pred_h + self.eps),
+                                  pred_h / (t_h + self.eps))
+        comb = jnp.stack([loss_dx, loss_dy, loss_dw, loss_dh], axis=-1)
+        loss = jnp.where(comb < self.beta,
+                         0.5 * comb * comb / self.beta,
+                         comb - 0.5 * self.beta)
+        if weights is not None:
+            loss = loss * (weights[..., None]
+                           if weights.ndim == loss.ndim - 1 else weights)
+        return loss
+
+
+@LOSSES.register_module
+@dataclass
+class BootstrappedSigmoidClassificationLoss:
+    """Convex combination of labels and model predictions as CE targets
+    (Reed et al., ICLR 2015). Parity: losses.py:450-511."""
+    alpha: float = 0.5
+    bootstrap_type: str = "soft"
+    loss_weight: float = 1.0
+
+    def __post_init__(self):
+        if self.bootstrap_type not in ("hard", "soft"):
+            raise ValueError("bootstrap_type must be 'hard' or 'soft'")
+
+    @property
+    def _loss_weight(self):
+        return self.loss_weight
+
+    def __call__(self, pred, target, weights=None):
+        p = jax.nn.sigmoid(pred)
+        if self.bootstrap_type == "soft":
+            boot = self.alpha * target + (1.0 - self.alpha) * p
+        else:
+            boot = self.alpha * target + (1.0 - self.alpha) * \
+                (p > 0.5).astype(pred.dtype)
+        loss = _sigmoid_cross_entropy_with_logits(labels=boot, logits=pred)
+        if weights is not None:
+            loss = loss * weights[..., None]
+        return loss

@@ -48,7 +48,8 @@ def test_voxelize_matches_oracle(rng):
     pts[:, 3] = rng.uniform(0, 1, n)
 
     gen = VoxelGenerator(voxel_size=voxel_size, point_cloud_range=pc_range,
-                         max_num_points=8, max_voxels=2000)
+                         max_num_points=8, max_voxels=2000,
+                         order="appearance")
     out = gen.generate(pts, np.int32(n))
     o_vox, o_coords, o_counts, o_n = _oracle_points_to_voxel(
         pts, voxel_size, pc_range, 8, 2000)
@@ -60,6 +61,64 @@ def test_voxelize_matches_oracle(rng):
         np.asarray(out["num_points_per_voxel"])[:nv], o_counts[:nv])
     np.testing.assert_allclose(np.asarray(out["voxels"])[:nv], o_vox[:nv],
                                atol=1e-6)
+
+
+def test_voxelize_hashed_mode_same_voxel_set(rng):
+    """The fast hashed-order path produces the same voxel SET, contents and
+    counts as the appearance path (just in hash-key row order), with
+    identical within-voxel point order."""
+    pc_range = [0, -10, -3, 20, 10, 1]
+    voxel_size = [0.5, 0.5, 1.0]
+    n = 500
+    pts = np.zeros((n, 4), np.float32)
+    pts[:, 0] = rng.uniform(-2, 22, n)
+    pts[:, 1] = rng.uniform(-12, 12, n)
+    pts[:, 2] = rng.uniform(-4, 2, n)
+    pts[:, 3] = rng.uniform(0, 1, n)
+
+    kw = dict(voxel_size=voxel_size, point_cloud_range=pc_range,
+              max_num_points=8, max_voxels=2000)
+    ref = VoxelGenerator(order="appearance", **kw).generate(pts, np.int32(n))
+    fast = VoxelGenerator(order="hashed", **kw).generate(pts, np.int32(n))
+
+    nv = int(ref["num_voxels"])
+    assert int(fast["num_voxels"]) == nv
+
+    grid = VoxelGenerator(**kw).grid_size
+    f_coords = np.asarray(fast["coords"])[:nv]
+    r_coords = np.asarray(ref["coords"])[:nv]
+    f_lin = (f_coords[:, 0] * grid[1] + f_coords[:, 1]) * grid[0] + f_coords[:, 2]
+    r_lin = (r_coords[:, 0] * grid[1] + r_coords[:, 1]) * grid[0] + r_coords[:, 2]
+    assert len(set(f_lin.tolist())) == nv          # rows are distinct voxels
+    # align fast rows to ref rows by linear id: everything must match
+    perm = np.argsort(r_lin)[np.searchsorted(r_lin[np.argsort(r_lin)], f_lin)]
+    np.testing.assert_array_equal(f_coords, r_coords[perm])
+    np.testing.assert_array_equal(
+        np.asarray(fast["num_points_per_voxel"])[:nv],
+        np.asarray(ref["num_points_per_voxel"])[:nv][perm])
+    np.testing.assert_allclose(np.asarray(fast["voxels"])[:nv],
+                               np.asarray(ref["voxels"])[:nv][perm], atol=0)
+
+
+def test_voxelize_hashed_mode_overflow_counts(rng):
+    """Overflow: counts/coords stay consistent when segments are dropped."""
+    pc_range = [0, -10, -3, 20, 10, 1]
+    gen = VoxelGenerator(voxel_size=[0.5, 0.5, 1.0],
+                         point_cloud_range=pc_range, max_num_points=2,
+                         max_voxels=16, order="hashed")
+    pts = np.zeros((400, 4), np.float32)
+    pts[:, 0] = rng.uniform(0, 20, 400)
+    pts[:, 1] = rng.uniform(-10, 10, 400)
+    pts[:, 2] = rng.uniform(-3, 1, 400)
+    out = gen.generate(pts, np.int32(400))
+    nv = int(out["num_voxels"])
+    assert nv == 16
+    counts = np.asarray(out["num_points_per_voxel"])
+    assert np.all(counts[:nv] >= 1) and np.all(counts[:nv] <= 2)
+    vox = np.asarray(out["voxels"])
+    for v in range(nv):
+        assert np.all(vox[v, counts[v]:] == 0)
+        assert np.all(np.abs(vox[v, :counts[v]]).sum(-1) > 0)
 
 
 def test_voxelize_respects_padding(rng):
@@ -104,3 +163,28 @@ def test_grid_size():
                          point_cloud_range=[0, -39.68, -3, 69.12, 39.68, 1],
                          max_num_points=100, max_voxels=12000)
     assert gen.grid_size == (432, 496, 1)
+
+
+def test_voxelize_hashed_overflow_is_spatially_fair(rng):
+    """Under overflow the hashed path keeps a spatially UNIFORM voxel
+    subset (a plain sorted-id prefix would keep one corner of the scene
+    and silently drop everything else)."""
+    pc_range = [0, -10, -3, 20, 10, 1]
+    gen = VoxelGenerator(voxel_size=[0.5, 0.5, 4.0],
+                         point_cloud_range=pc_range, max_num_points=1,
+                         max_voxels=100, order="hashed")
+    # one point per pillar on a regular grid: 40x40 = 1600 voxels, keep 100
+    xs, ys = np.meshgrid(np.arange(40) * 0.5 + 0.25,
+                         np.arange(40) * 0.5 - 10 + 0.25)
+    pts = np.zeros((1600, 4), np.float32)
+    pts[:, 0] = xs.ravel()
+    pts[:, 1] = ys.ravel()
+    pts[:, 2] = -1.0
+    out = gen.generate(pts, np.int32(1600))
+    assert int(out["num_voxels"]) == 100
+    kept = np.asarray(out["coords"])[:100]
+    # kept x positions span the full range, in all four quadrants
+    assert kept[:, 2].min() < 10 and kept[:, 2].max() >= 30
+    assert kept[:, 1].min() < 10 and kept[:, 1].max() >= 30
+    quad = (kept[:, 2] >= 20).astype(int) * 2 + (kept[:, 1] >= 20).astype(int)
+    assert len(set(quad.tolist())) == 4
