@@ -14,6 +14,7 @@ prediction).
 
 from __future__ import annotations
 
+import os
 from functools import partial
 
 import jax
@@ -23,6 +24,15 @@ from det3d_tpu.core import box_ops
 from det3d_tpu.core.geometry import box_to_corners, rotated_intersection_area
 
 _NEG = -1e9
+
+
+def _rotated_backend() -> str:
+    """'pallas' on real TPU (the fused VMEM kernel), 'xla' elsewhere.
+    Override with DET3D_TPU_NMS=pallas|xla."""
+    forced = os.environ.get("DET3D_TPU_NMS")
+    if forced in ("pallas", "xla"):
+        return forced
+    return "pallas" if jax.devices()[0].platform == "tpu" else "xla"
 
 
 def _pairwise_rotated_iou_from_corners(corners):
@@ -76,7 +86,8 @@ def _greedy_suppress(iou, valid, iou_threshold):
     return keep
 
 
-@partial(jax.jit, static_argnames=("pre_max_size", "post_max_size", "rotated"))
+@partial(jax.jit, static_argnames=("pre_max_size", "post_max_size",
+                                   "iou_threshold", "rotated"))
 def nms(boxes_for_nms, scores, *, pre_max_size: int, post_max_size: int,
         iou_threshold: float, rotated: bool = True):
     """Greedy NMS with fixed output size.
@@ -96,12 +107,17 @@ def nms(boxes_for_nms, scores, *, pre_max_size: int, post_max_size: int,
     valid = top_scores > 0.0  # masked/threshold-failed scores are <= 0
 
     if rotated:
-        corners = box_to_corners(boxes_for_nms[top_idx])
-        iou = _pairwise_rotated_iou_from_corners(corners)
+        if _rotated_backend() == "pallas":
+            from det3d_tpu.ops.nms_pallas import rotated_nms_keep
+            keep = rotated_nms_keep(boxes_for_nms[top_idx], valid,
+                                    iou_threshold)
+        else:
+            corners = box_to_corners(boxes_for_nms[top_idx])
+            iou = _pairwise_rotated_iou_from_corners(corners)
+            keep = _greedy_suppress(iou, valid, iou_threshold)
     else:
         iou = _pairwise_standup_iou(boxes_for_nms[top_idx])
-
-    keep = _greedy_suppress(iou, valid, iou_threshold)
+        keep = _greedy_suppress(iou, valid, iou_threshold)
 
     # compact kept entries (already score-ordered) to post_max_size slots
     rank_key = jnp.where(keep, jnp.arange(k), k + 1)

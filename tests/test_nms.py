@@ -72,3 +72,37 @@ def test_nms_pre_max_truncates(rng):
     v = np.asarray(valid)
     assert v.sum() == 1
     assert int(np.asarray(idx)[0]) == 9
+
+
+def test_pallas_nms_kernel_matches_xla(rng):
+    """The fused Pallas rotated-NMS kernel (interpret mode on CPU) produces
+    the exact keep set of the XLA reference path, including padding (K not
+    a multiple of the tile) and all-invalid inputs."""
+    import jax.numpy as jnp
+
+    from det3d_tpu.core.geometry import box_to_corners
+    from det3d_tpu.ops.nms import (_greedy_suppress,
+                                   _pairwise_rotated_iou_from_corners)
+    from det3d_tpu.ops.nms_pallas import rotated_nms_keep
+
+    for k, seed in ((200, 0), (333, 1)):
+        r = np.random.RandomState(seed)
+        centers = r.uniform(0, 40, (k, 2)).astype(np.float32)
+        h = k - k // 2
+        centers[k // 2:] = centers[:h] + \
+            r.normal(0, 1.0, (h, 2)).astype(np.float32)
+        boxes = np.concatenate(
+            [centers, r.uniform(1.5, 4.5, (k, 2)).astype(np.float32),
+             r.uniform(-np.pi, np.pi, (k, 1)).astype(np.float32)], 1)
+        valid = np.ones((k,), bool)
+        valid[-k // 10:] = False
+        bj, vj = jnp.asarray(boxes), jnp.asarray(valid)
+        iou = _pairwise_rotated_iou_from_corners(box_to_corners(bj))
+        keep_xla = np.asarray(_greedy_suppress(iou, vj, 0.5))
+        keep_pal = np.asarray(rotated_nms_keep(bj, vj, 0.5, interpret=True))
+        np.testing.assert_array_equal(keep_xla, keep_pal)
+
+    # all invalid -> empty keep
+    empty = np.asarray(rotated_nms_keep(
+        jnp.asarray(boxes), jnp.zeros((k,), bool), 0.5, interpret=True))
+    assert not empty.any()
