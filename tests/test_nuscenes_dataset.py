@@ -159,3 +159,60 @@ def test_lyft_dataset_and_eval(nusc_root):
     results2, _ = ds.evaluation(noisy, None)
     aps = np.asarray(results2["detail"]["eval.lyft"]["aps"])
     assert np.nanmean(aps[:, 0]) > np.nanmean(aps[:, -1])
+
+
+def test_nds_golden_fixture():
+    """Hand-derived golden values for the full NDS path (nusc_eval.evaluate;
+    reference: nuscenes-devkit detection algo.py / evaluate.py).
+
+    Fixture: 4 car GTs, 4 detections matched in score order 0.9/0.8/0.7/0.6
+    with pure x-translation errors 0.1/0.2/0.3/0.4 m (all < every matching
+    threshold), identical sizes/yaws/velocities/attributes, no FPs.
+
+    Hand derivation:
+      rec = [.25, .5, .75, 1], prec = [1,1,1,1] -> 101-pt interp precision
+      is 1.0 everywhere -> AP = 1.0 exactly at each of the 4 thresholds.
+      cummean(trans errs) = [.1, .15, .2, .25] at conf [.9, .8, .7, .6];
+      conf(r) is piecewise-linear through (0.25, .9)..(1.0, .6) (left=.9),
+      and err(conf) linear through those knots, so on the recall grid
+      err(r) = .1 for r <= .25 and .1 + .2*(r - .25) for r in [.25, 1].
+      ATE = mean over the 90 grid points r = .11..1.00.
+      NDS = (5*mAP + (1-ATE) + 4*1.0) / 10.
+    """
+    from det3d_tpu.datasets.nuscenes import nusc_eval
+
+    def box(x, score=None, err=0.0):
+        b = {
+            "detection_name": "car",
+            "translation": (x + err, 0.0, 1.0),
+            "size": (2.0, 4.5, 1.6),
+            "yaw": 0.3,
+            "velocity": (1.0, 0.0),
+            "attribute_name": "vehicle.moving",
+            "num_pts": 10,
+        }
+        if score is not None:
+            b["detection_score"] = score
+        return b
+
+    xs = [5.0, 15.0, 25.0, 35.0]
+    gts = {"tok": [box(x) for x in xs]}
+    preds = {"tok": [box(x, score=s, err=e) for x, s, e in
+                     zip(xs, [0.9, 0.8, 0.7, 0.6], [0.1, 0.2, 0.3, 0.4])]}
+
+    m = nusc_eval.evaluate(gts, preds, classes=["car"])
+
+    for th, ap in m["label_aps"]["car"].items():
+        assert abs(ap - 1.0) < 1e-12, (th, ap)
+    assert abs(m["mean_ap"] - 1.0) < 1e-12
+
+    # closed-form ATE over the recall grid
+    grid = np.linspace(0, 1, 101)[11:]
+    err = np.where(grid <= 0.25, 0.1, 0.1 + 0.2 * (grid - 0.25))
+    ate = float(err.mean())
+    assert abs(m["tp_errors"]["trans_err"] - ate) < 1e-12
+    for k in ("scale_err", "orient_err", "vel_err", "attr_err"):
+        assert abs(m["tp_errors"][k]) < 1e-12, (k, m["tp_errors"][k])
+
+    nds = (5.0 * 1.0 + (1.0 - ate) + 4.0) / 10.0
+    assert abs(m["nd_score"] - nds) < 1e-12
