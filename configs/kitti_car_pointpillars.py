@@ -85,6 +85,9 @@ voxel_generator = dict(
     voxel_size=voxel_size,
     max_points_in_voxel=100,
     max_voxel_num=12000,
+    # fast voxelizer ordering: the 12000 pillar cap exceeds real-scan
+    # occupancy, so the voxel set is identical to the parity ordering
+    order="hashed",
 )
 
 db_sampler = dict(

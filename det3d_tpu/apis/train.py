@@ -48,7 +48,8 @@ def build_stack(cfg):
         voxel_size=vg_cfg["voxel_size"],
         point_cloud_range=vg_cfg["range"],
         max_num_points=vg_cfg.get("max_points_in_voxel", 100),
-        max_voxels=vg_cfg.get("max_voxel_num", 20000))
+        max_voxels=vg_cfg.get("max_voxel_num", 20000),
+        order=vg_cfg.get("order", "appearance"))
     grid = voxel_gen.grid_size
 
     model = build_detector(cfg["model"], train_cfg=cfg.get("train_cfg"),

@@ -37,6 +37,18 @@ import jax.numpy as jnp
 _SENTINEL = np.iinfo(np.int32).max
 
 
+def _mix32(x):
+    """Murmur3 finalizer: a bijective mix on uint32 (shared with
+    core/voxelize.py's hashed ordering)."""
+    x = x.astype(jnp.uint32)
+    x = x ^ (x >> 16)
+    x = x * jnp.uint32(0x85EBCA6B)
+    x = x ^ (x >> 13)
+    x = x * jnp.uint32(0xC2B2AE35)
+    x = x ^ (x >> 16)
+    return x
+
+
 def _as3(v) -> Tuple[int, int, int]:
     if isinstance(v, (int, np.integer)):
         return (int(v),) * 3
@@ -122,6 +134,85 @@ def _make_lookup(lin, shape):
     return lambda q: lookup(sorted_lin, perm, q)
 
 
+# ---------------------------------------------------------------------------
+# Batched lookup structures (shared across the rulebooks of one resolution)
+# ---------------------------------------------------------------------------
+# Two measured facts drive this API (v5e, KITTI SECOND res0 = 94.6M cells):
+#   * a vmapped batch scatter degrades ~5x vs per-sample scatters (the same
+#     pathology as the pillar canvas scatter) — table builds go through
+#     ``lax.map``, one sample at a time;
+#   * element-gather throughput is flat ~7.5 ns/query for tables <= ~67 MB
+#     and ~12.6 ns at 378 MB, and is NOT degraded by vmap — queries stay
+#     vmapped.
+# Building the table once per RESOLUTION (shared by the subm rulebook and
+# the next stage's strided-conv rulebook) halves the build count.
+
+
+def build_lookup_batch(coords, shape):
+    """(B, V, 3) zyx -> batched lookup structure for this grid resolution.
+
+    Returns ("dense", (B, n_cells) tables) for grids that fit the dense
+    budget, else ("sorted", (sorted_lin, perm)) searchsorted fallback.
+    """
+    n_cells = int(np.prod(shape))
+    if n_cells <= _DENSE_TABLE_MAX_CELLS:
+        def one(co):
+            return build_dense_table(linearize(co, shape), n_cells)
+        return ("dense", jax.lax.map(one, coords))
+    def one_sorted(co):
+        return build_hash(linearize(co, shape))
+    return ("sorted", jax.vmap(one_sorted)(coords))
+
+
+def lookup_queries_batch(lookup_struct, qlin):
+    """qlin: (B, Q) linear ids -> (slot (B, Q) int32, found (B, Q) bool)."""
+    kind, data = lookup_struct
+    if kind == "dense":
+        return jax.vmap(lookup_dense)(data, qlin)
+    sorted_lin, perm = data
+    return jax.vmap(lookup)(sorted_lin, perm, qlin)
+
+
+def subm_rulebook_batch(coords, shape, kernel=3, lookup_struct=None):
+    """Batched submanifold rulebook over a (possibly shared) lookup.
+
+    coords: (B, V, 3). Returns (idx (B, V, K), mask (B, V, K)).
+    """
+    k = _as3(kernel)
+    pad = tuple(kk // 2 for kk in k)
+    if lookup_struct is None:
+        lookup_struct = build_lookup_batch(coords, shape)
+    taps = jnp.asarray(_tap_offsets(k) - np.asarray(pad), jnp.int32)
+    b, v = coords.shape[:2]
+    q = coords[:, :, None, :] + taps[None, None]           # (B, V, K, 3)
+    qlin = jax.vmap(lambda x: linearize(x, shape))(
+        q.reshape(b, -1, 3))
+    idx, found = lookup_queries_batch(lookup_struct, qlin)
+    kvol = taps.shape[0]
+    valid_row = (coords[:, :, 0] >= 0)[:, :, None]
+    return (idx.reshape(b, v, kvol),
+            found.reshape(b, v, kvol) & valid_row)
+
+
+def conv_rulebook_batch(in_shape, out_coords, kernel, stride, padding,
+                        lookup_struct):
+    """Batched strided-conv rulebook over the input resolution's shared
+    lookup. out_coords: (B, O, 3). Returns (idx (B, O, K), mask (B, O, K))."""
+    k, s, p = _as3(kernel), _as3(stride), _as3(padding)
+    taps = jnp.asarray(_tap_offsets(k), jnp.int32)
+    sv = jnp.asarray(s, jnp.int32)
+    pv = jnp.asarray(p, jnp.int32)
+    b, o = out_coords.shape[:2]
+    q = (out_coords[:, :, None, :] * sv[None, None, None]
+         + taps[None, None] - pv[None, None, None])        # (B, O, K, 3)
+    qlin = jax.vmap(lambda x: linearize(x, in_shape))(q.reshape(b, -1, 3))
+    idx, found = lookup_queries_batch(lookup_struct, qlin)
+    kvol = taps.shape[0]
+    valid_row = (out_coords[:, :, 0] >= 0)[:, :, None]
+    return (idx.reshape(b, o, kvol),
+            found.reshape(b, o, kvol) & valid_row)
+
+
 # Window-gather experiment (tried, measured, rejected): since the 3 x-taps
 # of every (dz, dy) kernel row are consecutive linear ids, one 3-wide slice
 # gather per row could in principle replace 3 element gathers. Measured on
@@ -199,6 +290,13 @@ def conv_out_coords(coords, shape, kernel, stride, padding, max_out):
     lin = (oz * oshape[1] + oy) * oshape[2] + ox            # (V, nz, ny, nx)
     lin = jnp.where(ok, lin, _SENTINEL).reshape(-1)
 
+    # Dedupe by sorting the zyx-major linear id. Under max_out overflow the
+    # kept prefix is the LOWEST-Z slab of the scene (z is the major digit):
+    # deliberately kept — lidar objects sit near the ground, so low-z-first
+    # is the right drop policy (measured: a hash-uniform drop thins object
+    # clusters 4x in the saturated regime and loses detections, while the
+    # low-z prefix keeps them; stage-1 of KITTI SECOND does saturate its cap
+    # on real-density scans, so this policy is load-bearing).
     slin = jnp.sort(lin)
     head = (slin != _SENTINEL) & jnp.concatenate(
         [jnp.ones((1,), bool), slin[1:] != slin[:-1]])
