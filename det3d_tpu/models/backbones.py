@@ -80,6 +80,7 @@ class SparseConvBN(nn.Module):
     axis_name: Optional[str] = None
     use_bias: bool = False
     relu: bool = True
+    use_norm: bool = True       # False = the Nobn variants (scn.py:200)
 
     @nn.compact
     def __call__(self, x, idx, mask, valid, train: bool = False):
@@ -89,11 +90,12 @@ class SparseConvBN(nn.Module):
             nn.initializers.variance_scaling(1.0, "fan_in", "uniform"),
             (kvol, cin, self.out_channels), jnp.float32)
         y = sp.apply_conv(x, idx, mask, w)
-        if self.use_bias:
+        if self.use_bias or not self.use_norm:
             y = y + self.param("bias", nn.initializers.zeros,
                                (self.out_channels,), jnp.float32)
-        y = build_norm(self.norm_cfg, self.axis_name)(
-            y, mask=valid, use_running_average=not train)
+        if self.use_norm:
+            y = build_norm(self.norm_cfg, self.axis_name)(
+                y, mask=valid, use_running_average=not train)
         if self.relu:
             y = nn.relu(y)
         return y
@@ -185,6 +187,7 @@ class SpMiddleFHD(nn.Module):
     # drops are hash-uniform). Default keeps every slot (reference parity);
     # serving configs may set e.g. (1.0, 1.0, 0.75, 0.7).
     stage_caps: Sequence[float] = (1.0, 1.0, 1.0, 1.0)
+    use_norm: bool = True         # False = SpMiddleFHDNobn (scn.py:200)
     name_str: str = "SpMiddleFHD"
 
     @nn.compact
@@ -196,41 +199,44 @@ class SpMiddleFHD(nn.Module):
         v = coords.shape[1]
         caps = [max(64, int(v * f)) for f in self.stage_caps]
 
+        def SCB(ch):
+            return SparseConvBN(ch, cfg, ax, use_norm=self.use_norm)
+
         lookup0 = sp.build_lookup_batch(coords, shape0)
         sidx0, smask0 = sp.subm_rulebook_batch(coords, shape0, 3, lookup0)
         valid0 = coords[:, :, 0] >= 0
         x = voxel_features
-        x = SparseConvBN(16, cfg, ax)(x, sidx0, smask0, valid0, train)
-        x = SparseConvBN(16, cfg, ax)(x, sidx0, smask0, valid0, train)
+        x = SCB(16)(x, sidx0, smask0, valid0, train)
+        x = SCB(16)(x, sidx0, smask0, valid0, train)
 
         co1, didx, dmask, sidx, smask, shape1, lk1 = _stage_rulebooks(
             coords, shape0, 3, 2, 1, caps[0], lookup0)
         valid1 = co1[:, :, 0] >= 0
-        x = SparseConvBN(32, cfg, ax)(x, didx, dmask, valid1, train)
-        x = SparseConvBN(32, cfg, ax)(x, sidx, smask, valid1, train)
-        x = SparseConvBN(32, cfg, ax)(x, sidx, smask, valid1, train)
+        x = SCB(32)(x, didx, dmask, valid1, train)
+        x = SCB(32)(x, sidx, smask, valid1, train)
+        x = SCB(32)(x, sidx, smask, valid1, train)
 
         co2, didx, dmask, sidx, smask, shape2, lk2 = _stage_rulebooks(
             co1, shape1, 3, 2, 1, caps[1], lk1)
         valid2 = co2[:, :, 0] >= 0
-        x = SparseConvBN(64, cfg, ax)(x, didx, dmask, valid2, train)
-        x = SparseConvBN(64, cfg, ax)(x, sidx, smask, valid2, train)
-        x = SparseConvBN(64, cfg, ax)(x, sidx, smask, valid2, train)
-        x = SparseConvBN(64, cfg, ax)(x, sidx, smask, valid2, train)
+        x = SCB(64)(x, didx, dmask, valid2, train)
+        x = SCB(64)(x, sidx, smask, valid2, train)
+        x = SCB(64)(x, sidx, smask, valid2, train)
+        x = SCB(64)(x, sidx, smask, valid2, train)
 
         co3, didx, dmask, sidx, smask, shape3, lk3 = _stage_rulebooks(
             co2, shape2, 3, 2, (0, 1, 1), caps[2], lk2)
         valid3 = co3[:, :, 0] >= 0
-        x = SparseConvBN(64, cfg, ax)(x, didx, dmask, valid3, train)
-        x = SparseConvBN(64, cfg, ax)(x, sidx, smask, valid3, train)
-        x = SparseConvBN(64, cfg, ax)(x, sidx, smask, valid3, train)
-        x = SparseConvBN(64, cfg, ax)(x, sidx, smask, valid3, train)
+        x = SCB(64)(x, didx, dmask, valid3, train)
+        x = SCB(64)(x, sidx, smask, valid3, train)
+        x = SCB(64)(x, sidx, smask, valid3, train)
+        x = SCB(64)(x, sidx, smask, valid3, train)
 
         co4, didx, dmask, _, _, shape4, _ = _stage_rulebooks(
             co3, shape3, (3, 1, 1), (2, 1, 1), 0, caps[3], lk3,
             build_subm=False)
         valid4 = co4[:, :, 0] >= 0
-        x = SparseConvBN(64, cfg, ax)(x, didx, dmask, valid4, train)
+        x = SCB(64)(x, didx, dmask, valid4, train)
 
         return _bev_reshape(x, co4, shape4)
 
@@ -288,5 +294,88 @@ class SpMiddleResNetFHD(nn.Module):
             build_subm=False)
         valid4 = co4[:, :, 0] >= 0
         x = SparseConvBN(128, cfg, ax)(x, didx, dmask, valid4, train)
+
+        return _bev_reshape(x, co4, shape4)
+
+
+@BACKBONES.register_module
+class SpMiddleFHDNobn(nn.Module):
+    """SpMiddleFHD with every BN removed and conv biases on — the exact
+    layer schedule of reference scn.py:200-305 (which is SpMiddleFHD with
+    the norm lines commented out)."""
+    num_input_features: int = 128
+    norm_cfg: Optional[dict] = None
+    axis_name: Optional[str] = None
+    ds_factor: int = 8
+    stage_caps: Sequence[float] = (1.0, 1.0, 1.0, 1.0)
+    name_str: str = "SpMiddleFHDNobn"
+
+    @nn.compact
+    def __call__(self, voxel_features, coords, input_shape,
+                 train: bool = False):
+        return SpMiddleFHD(num_input_features=self.num_input_features,
+                           norm_cfg=self.norm_cfg, axis_name=self.axis_name,
+                           ds_factor=self.ds_factor,
+                           stage_caps=tuple(self.stage_caps),
+                           use_norm=False)(voxel_features, coords,
+                                           input_shape, train)
+
+
+@BACKBONES.register_module
+class RCNNSpMiddleFHD(nn.Module):
+    """Cropped-region sparse middle for the 2-stage RCNN experiments.
+
+    Parity: scn.py:373-457 — the SpMiddleFHD schedule with the per-stage
+    subm stacks thinned to one conv each (the reference comments the rest
+    out) and a trailing stride-2 z-collapse; channels 16-32-64-64-64.
+    Grid axes are z-major (z, y, x) as everywhere in this framework; the
+    reference's crop grids use the same spconv layout.
+    """
+    num_input_features: int = 128
+    norm_cfg: Optional[dict] = None
+    axis_name: Optional[str] = None
+    ds_factor: int = 8
+    stage_caps: Sequence[float] = (1.0, 1.0, 1.0, 1.0)
+    name_str: str = "RCNNSpMiddleFHD"
+
+    @nn.compact
+    def __call__(self, voxel_features, coords, input_shape,
+                 train: bool = False):
+        nx, ny, nz = (int(s) for s in input_shape)
+        shape0 = (nz + 1, ny, nx)
+        cfg, ax = self.norm_cfg, self.axis_name
+        v = coords.shape[1]
+        caps = [max(64, int(v * f)) for f in self.stage_caps]
+
+        lookup0 = sp.build_lookup_batch(coords, shape0)
+        sidx0, smask0 = sp.subm_rulebook_batch(coords, shape0, 3, lookup0)
+        valid0 = coords[:, :, 0] >= 0
+        x = voxel_features
+        x = SparseConvBN(16, cfg, ax)(x, sidx0, smask0, valid0, train)
+        x = SparseConvBN(16, cfg, ax)(x, sidx0, smask0, valid0, train)
+
+        co1, didx, dmask, sidx, smask, shape1, lk1 = _stage_rulebooks(
+            coords, shape0, 3, 2, 1, caps[0], lookup0)
+        valid1 = co1[:, :, 0] >= 0
+        x = SparseConvBN(32, cfg, ax)(x, didx, dmask, valid1, train)
+        x = SparseConvBN(32, cfg, ax)(x, sidx, smask, valid1, train)
+
+        co2, didx, dmask, sidx, smask, shape2, lk2 = _stage_rulebooks(
+            co1, shape1, 3, 2, 1, caps[1], lk1)
+        valid2 = co2[:, :, 0] >= 0
+        x = SparseConvBN(64, cfg, ax)(x, didx, dmask, valid2, train)
+        x = SparseConvBN(64, cfg, ax)(x, sidx, smask, valid2, train)
+
+        co3, didx, dmask, sidx, smask, shape3, lk3 = _stage_rulebooks(
+            co2, shape2, 3, 2, (0, 1, 1), caps[2], lk2)
+        valid3 = co3[:, :, 0] >= 0
+        x = SparseConvBN(64, cfg, ax)(x, didx, dmask, valid3, train)
+        x = SparseConvBN(64, cfg, ax)(x, sidx, smask, valid3, train)
+
+        co4, didx, dmask, _, _, shape4, _ = _stage_rulebooks(
+            co3, shape3, (3, 1, 1), (2, 1, 1), 0, caps[3], lk3,
+            build_subm=False)
+        valid4 = co4[:, :, 0] >= 0
+        x = SparseConvBN(64, cfg, ax)(x, didx, dmask, valid4, train)
 
         return _bev_reshape(x, co4, shape4)

@@ -13,9 +13,11 @@ from det3d_tpu.core.anchors import build_box_coder
 from det3d_tpu.models import backbones as _backbones  # noqa: F401
 from det3d_tpu.models import detectors as _detectors  # noqa: F401
 from det3d_tpu.models import heads as _heads          # noqa: F401
+from det3d_tpu.models import image_backbones as _img  # noqa: F401
 from det3d_tpu.models import losses as _losses        # noqa: F401
 from det3d_tpu.models import necks as _necks          # noqa: F401
 from det3d_tpu.models import readers as _readers      # noqa: F401
+from det3d_tpu.models import second_stage as _stage2  # noqa: F401
 
 
 def _clean(cfg: dict) -> dict:

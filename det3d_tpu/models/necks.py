@@ -84,3 +84,26 @@ class RPN(nn.Module):
         if ups:
             x = jnp.concatenate(ups, axis=-1)
         return x
+
+
+@NECKS.register_module
+class PointModule(nn.Module):
+    """Per-crop pointnet head for the 2-stage refine path (rpn.py:163-201):
+    flatten, two 1x1-conv(Dense)+BN+ReLU blocks, then a width-3 max filter
+    over the feature vector (the reference's MaxPool1d(3, 1, 1))."""
+    num_input_features: int
+    layers: Sequence[int] = (1024, 128)
+    norm_cfg: Optional[dict] = None
+    name_str: str = "PointModule"
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        x = x.reshape(x.shape[0], -1)                      # (N, F)
+        for f in self.layers:
+            x = nn.Dense(f, use_bias=False)(x)
+            x = build_norm(self.norm_cfg)(
+                x, use_running_average=not train)
+            x = nn.relu(x)
+        pad = jnp.pad(x, ((0, 0), (1, 1)), constant_values=-jnp.inf)
+        x = jnp.maximum(jnp.maximum(pad[:, :-2], pad[:, 1:-1]), pad[:, 2:])
+        return x[:, None, None, :]                         # (N, 1, 1, F)

@@ -210,3 +210,40 @@ class VoxelFeatureExtractor(nn.Module):
         out = jnp.max(x, axis=2)                             # (B, V, U)
         return (out * voxel_mask[..., None].astype(out.dtype)).astype(
             jnp.float32)
+
+
+@READERS.register_module
+class VFEV3_ablation(nn.Module):
+    """Mean of (x, y, intensity) + inverse point count channel — the
+    VFEv3 ablation reader (voxel_encoder.py:180-196)."""
+    num_input_features: int = 4
+    norm_cfg: Optional[dict] = None
+    name: str = "VFEV3_ablation"
+
+    @nn.compact
+    def __call__(self, voxels, num_points, coors=None, train: bool = False):
+        denom = jnp.maximum(num_points, 1).astype(voxels.dtype)[..., None]
+        mask = paddings_indicator(num_points, voxels.shape[2])
+        pts = voxels * mask[..., None].astype(voxels.dtype)
+        mean = pts[..., (0, 1, 3)].sum(axis=2) / denom        # (B, V, 3)
+        return jnp.concatenate([mean, 1.0 / denom], axis=-1)  # (B, V, 4)
+
+
+@READERS.register_module
+class SimpleVoxel(nn.Module):
+    """Mean-pooled voxel reduced to (range_xy, z, reflectance...) — "z is
+    important for z regression, x/y are not" (voxel_encoder.py:215-235)."""
+    num_input_features: int = 4
+    norm_cfg: Optional[dict] = None
+    name: str = "SimpleVoxel"
+
+    @nn.compact
+    def __call__(self, voxels, num_points, coors=None, train: bool = False):
+        denom = jnp.maximum(num_points, 1).astype(voxels.dtype)[..., None]
+        mask = paddings_indicator(num_points, voxels.shape[2])
+        pts = voxels[..., :self.num_input_features] \
+            * mask[..., None].astype(voxels.dtype)
+        mean = pts.sum(axis=2) / denom                        # (B, V, C)
+        rng = jnp.linalg.norm(mean[..., :2], axis=-1, keepdims=True)
+        return jnp.concatenate(
+            [rng, mean[..., 2:self.num_input_features]], axis=-1)
