@@ -130,11 +130,15 @@ def _stage_rulebooks(coords, shape, down_kernel, down_stride, down_pad,
     shrinks the active count. Overflow drops a spatially-uniform
     hash-ordered subset (see sp.conv_out_coords).
 
-    ``in_lookup`` is the input resolution's shared lookup structure (built
-    once per resolution and reused by that resolution's subm rulebook — the
-    TPU analogue of spconv ``indice_key`` sharing, extended across layer
-    KINDS). The new resolution's lookup is built here and returned so the
-    caller can thread it to the next stage.
+    ``in_lookup`` (required) is the input resolution's shared lookup
+    structure (built once per resolution and reused by that resolution's
+    subm rulebook — the TPU analogue of spconv ``indice_key`` sharing,
+    extended across layer KINDS). The new resolution's lookup is built
+    here and returned so the caller can thread it to the next stage.
+
+    New coords come out of conv_out_coords zyx-sorted (the low-z-first
+    overflow drop policy), then are re-sorted into the new resolution's
+    rank order (sp.stage_lookup_batch) — the bitmap lookup's row contract.
 
     Returns (new_coords, down_idx, down_mask, subm_idx, subm_mask,
     new_shape, new_lookup)."""
@@ -144,15 +148,14 @@ def _stage_rulebooks(coords, shape, down_kernel, down_stride, down_pad,
     out_co, _ = jax.vmap(
         lambda co: sp.conv_out_coords(co, shape, down_kernel, down_stride,
                                       down_pad, max_out))(coords)
-    if in_lookup is None:
-        in_lookup = sp.build_lookup_batch(coords, shape)
-    didx, dmask = sp.conv_rulebook_batch(shape, out_co, down_kernel,
-                                         down_stride, down_pad, in_lookup)
-    out_lookup = sp.build_lookup_batch(out_co, oshape) if build_subm else None
     if build_subm:
+        _, out_co, out_lookup = sp.stage_lookup_batch(out_co, oshape)
         sidx, smask = sp.subm_rulebook_batch(out_co, oshape, 3, out_lookup)
     else:
-        sidx = smask = None
+        out_lookup = sidx = smask = None
+    # after the reorder, so the down-rulebook rows match the new ordering
+    didx, dmask = sp.conv_rulebook_batch(shape, out_co, down_kernel,
+                                         down_stride, down_pad, in_lookup)
     return out_co, didx, dmask, sidx, smask, oshape, out_lookup
 
 
@@ -202,10 +205,10 @@ class SpMiddleFHD(nn.Module):
         def SCB(ch):
             return SparseConvBN(ch, cfg, ax, use_norm=self.use_norm)
 
-        lookup0 = sp.build_lookup_batch(coords, shape0)
+        order0, coords, lookup0 = sp.stage_lookup_batch(coords, shape0)
+        x = jnp.take_along_axis(voxel_features, order0[..., None], axis=1)
         sidx0, smask0 = sp.subm_rulebook_batch(coords, shape0, 3, lookup0)
         valid0 = coords[:, :, 0] >= 0
-        x = voxel_features
         x = SCB(16)(x, sidx0, smask0, valid0, train)
         x = SCB(16)(x, sidx0, smask0, valid0, train)
 
@@ -260,10 +263,10 @@ class SpMiddleResNetFHD(nn.Module):
         v = coords.shape[1]
         caps = [max(64, int(v * f)) for f in self.stage_caps]
 
-        lookup0 = sp.build_lookup_batch(coords, shape0)
+        order0, coords, lookup0 = sp.stage_lookup_batch(coords, shape0)
+        x = jnp.take_along_axis(voxel_features, order0[..., None], axis=1)
         sidx0, smask0 = sp.subm_rulebook_batch(coords, shape0, 3, lookup0)
         valid0 = coords[:, :, 0] >= 0
-        x = voxel_features
         x = SparseConvBN(16, cfg, ax)(x, sidx0, smask0, valid0, train)
         x = SparseBasicBlock(16, cfg, ax)(x, sidx0, smask0, valid0, train)
         x = SparseBasicBlock(16, cfg, ax)(x, sidx0, smask0, valid0, train)
@@ -347,10 +350,10 @@ class RCNNSpMiddleFHD(nn.Module):
         v = coords.shape[1]
         caps = [max(64, int(v * f)) for f in self.stage_caps]
 
-        lookup0 = sp.build_lookup_batch(coords, shape0)
+        order0, coords, lookup0 = sp.stage_lookup_batch(coords, shape0)
+        x = jnp.take_along_axis(voxel_features, order0[..., None], axis=1)
         sidx0, smask0 = sp.subm_rulebook_batch(coords, shape0, 3, lookup0)
         valid0 = coords[:, :, 0] >= 0
-        x = voxel_features
         x = SparseConvBN(16, cfg, ax)(x, sidx0, smask0, valid0, train)
         x = SparseConvBN(16, cfg, ax)(x, sidx0, smask0, valid0, train)
 

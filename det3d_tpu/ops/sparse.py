@@ -178,6 +178,9 @@ def subm_rulebook_batch(coords, shape, kernel=3, lookup_struct=None):
 
     coords: (B, V, 3). Returns (idx (B, V, K), mask (B, V, K)).
     """
+    if lookup_struct is not None and lookup_struct[0] == "bitmap":
+        return subm_rulebook_bitmap(coords, shape, kernel,
+                                    lookup_struct[1])
     k = _as3(kernel)
     pad = tuple(kk // 2 for kk in k)
     if lookup_struct is None:
@@ -198,6 +201,9 @@ def conv_rulebook_batch(in_shape, out_coords, kernel, stride, padding,
                         lookup_struct):
     """Batched strided-conv rulebook over the input resolution's shared
     lookup. out_coords: (B, O, 3). Returns (idx (B, O, K), mask (B, O, K))."""
+    if lookup_struct[0] == "bitmap":
+        return conv_rulebook_bitmap(in_shape, out_coords, kernel, stride,
+                                    padding, lookup_struct[1])
     k, s, p = _as3(kernel), _as3(stride), _as3(padding)
     taps = jnp.asarray(_tap_offsets(k), jnp.int32)
     sv = jnp.asarray(s, jnp.int32)
@@ -367,3 +373,193 @@ def to_dense(features, coords, shape):
 
     dense = jax.vmap(scatter_one)(features, lin)
     return dense.reshape(-1, d, h, w, c)
+
+
+# ---------------------------------------------------------------------------
+# BEV z-column bitmap lookup — the fast rulebook for lidar-shaped grids
+# ---------------------------------------------------------------------------
+# The dense (D*H*W,) slot table costs one ~12.5 ns element gather per kernel
+# tap query AND a D*H*W memset per build (370 MB and 8 ms/scan at KITTI
+# SECOND res0, measured). Lidar grids are shallow (D <= 64): collapse z into
+# per-BEV-column 64-bit occupancy masks, stored as three parallel (h*w,)
+# tables [rank_base, bits_lo, bits_hi]. The kz z-taps of each of the ky*kx
+# BEV kernel columns share ONE 3-element fetch: element count per output
+# voxel equals the dense table's 27, but the tables are ~40x smaller (the
+# fast <= 67 MB gather regime) and the build is a ~1/40 memset — measured
+# at res0 scale (B=2, V=20k): build 16.2 -> 3.4 ms, subm queries
+# 13.3 -> 7.9 ms vs the dense table. Presence and rank come from
+# popcount(bits below z), all VPU.
+#
+# CONTRACT: ranks number the active voxels in (y, x, z)-ascending order, so
+# callers must hold rows in that order — ``yxz_order`` gives the
+# permutation. Padding rows sort last and are never ranked.
+
+
+def yxz_lin(coords, shape):
+    """(V, 3) zyx -> yxz-major linear key; invalid rows -> sentinel."""
+    d, h, w = shape
+    z, y, x = coords[:, 0], coords[:, 1], coords[:, 2]
+    ok = (z >= 0) & (z < d) & (y >= 0) & (y < h) & (x >= 0) & (x < w)
+    return jnp.where(ok, (y * w + x) * d + z, _SENTINEL)
+
+
+def yxz_order(coords, shape):
+    """Row permutation putting coords in bitmap-rank order (stable)."""
+    return jnp.argsort(yxz_lin(coords, shape)).astype(jnp.int32)
+
+
+def build_bitmap(coords, shape):
+    """One sample's bitmap lookup. coords (V, 3) zyx IN yxz ORDER.
+
+    Returns (t_base (h*w,) int32 exclusive rank base per column,
+    t_lo (h*w,) uint32 bits z in [0,32), t_hi (h*w,) uint32 z in
+    [32,64))."""
+    d, h, w = shape
+    assert d <= 64, f"bitmap lookup needs depth <= 64, got {d}"
+    z, y, x = coords[:, 0], coords[:, 1], coords[:, 2]
+    ok = (z >= 0) & (z < d) & (y >= 0) & (y < h) & (x >= 0) & (x < w)
+    yx = jnp.where(ok, y * w + x, h * w)                    # OOB -> dropped
+    zc = jnp.where(ok, z, 0)
+    lo_bit = jnp.where(zc < 32, zc, 0).astype(jnp.uint32)
+    hi_bit = jnp.where(zc >= 32, zc - 32, 0).astype(jnp.uint32)
+    in_lo = ok & (zc < 32)
+    in_hi = ok & (zc >= 32)
+    # each active voxel owns a distinct (column, bit): add == or
+    t_lo = jnp.zeros((h * w,), jnp.uint32).at[
+        jnp.where(in_lo, yx, h * w)].add(jnp.uint32(1) << lo_bit,
+                                         mode="drop")
+    t_hi = jnp.zeros((h * w,), jnp.uint32).at[
+        jnp.where(in_hi, yx, h * w)].add(jnp.uint32(1) << hi_bit,
+                                         mode="drop")
+    counts = (jax.lax.population_count(t_lo)
+              + jax.lax.population_count(t_hi)).astype(jnp.int32)
+    t_base = jnp.cumsum(counts) - counts                    # exclusive
+    return t_base, t_lo, t_hi
+
+
+def build_bitmap_batch(coords, shape):
+    """(B, V, 3) yxz-ordered -> batched (t_base, t_lo, t_hi), each (B, M).
+    Builds go through lax.map (vmapped scatters degrade ~5x, see above)."""
+    return jax.lax.map(lambda co: build_bitmap(co, shape), coords)
+
+
+def _bitmap_column_ranks(bitmap, qy, qx, z0, kz, shape):
+    """Shared-column rank computation.
+
+    qy/qx: (...,) BEV column queries; z0: (...,) first z tap; kz z taps
+    z0..z0+kz-1 all resolved from ONE (base, lo, hi) fetch per column.
+    Returns (rank (..., kz), found (..., kz))."""
+    d, h, w = shape
+    t_base, t_lo, t_hi = bitmap
+    okc = (qy >= 0) & (qy < h) & (qx >= 0) & (qx < w)
+    flat = jnp.where(okc, qy * w + qx, 0)
+    base = t_base[flat]
+    lo = t_lo[flat]
+    # shallow grids (d <= 32, every resolution after the first downsample
+    # at lidar scales) never populate the hi word: skip its gather — 2
+    # elements per column instead of 3
+    hi = t_hi[flat] if d > 32 else jnp.uint32(0)
+    outs_r, outs_f = [], []
+    for j in range(kz):
+        z = z0 + j
+        okz = okc & (z >= 0) & (z < d)
+        zc = jnp.where(okz, z, 0)
+        zl = jnp.where(zc < 32, zc, 31).astype(jnp.uint32)
+        # masks of bits strictly below z, per word
+        m_lo = jnp.where(zc < 32, (jnp.uint32(1) << zl) - jnp.uint32(1),
+                         jnp.uint32(0xFFFFFFFF))
+        below = jax.lax.population_count(lo & m_lo).astype(jnp.int32)
+        if d > 32:
+            zh = jnp.where(zc >= 32, zc - 32, 0).astype(jnp.uint32)
+            m_hi = jnp.where(zc >= 32,
+                             (jnp.uint32(1) << zh) - jnp.uint32(1),
+                             jnp.uint32(0))
+            word = jnp.where(zc < 32, lo, hi)
+            bit = jnp.where(zc < 32, zl, zh)
+            below = below + jax.lax.population_count(
+                hi & m_hi).astype(jnp.int32)
+        else:
+            word = lo
+            bit = zl
+        present = ((word >> bit) & jnp.uint32(1)) != 0
+        found = okz & present
+        outs_r.append(jnp.where(found, base + below, 0).astype(jnp.int32))
+        outs_f.append(found)
+    return jnp.stack(outs_r, axis=-1), jnp.stack(outs_f, axis=-1)
+
+
+def _bitmap_rulebook(bitmap, coords_zyx, bev_taps, z0_offset, kz, shape):
+    """Common core: coords (V, 3) query rows, bev_taps (Kbev, 2) (dy, dx)
+    already scaled/padded, z0_offset scalar added to each row's z.
+    Returns (idx (V, kz*Kbev...) in TAP-MAJOR z-outer order, found)."""
+    qy = coords_zyx[:, None, 1] + bev_taps[None, :, 0]      # (V, Kbev)
+    qx = coords_zyx[:, None, 2] + bev_taps[None, :, 1]
+    z0 = (coords_zyx[:, 0] + z0_offset)[:, None]            # (V, 1)
+    z0 = jnp.broadcast_to(z0, qy.shape)
+    rank, found = _bitmap_column_ranks(bitmap, qy, qx, z0, kz, shape)
+    # (V, Kbev, kz) -> (V, kz, Kbev) -> (V, K) matching _tap_offsets'
+    # z-major (jz, jy, jx) ordering
+    v = coords_zyx.shape[0]
+    return (rank.transpose(0, 2, 1).reshape(v, -1),
+            found.transpose(0, 2, 1).reshape(v, -1))
+
+
+def subm_rulebook_bitmap(coords, shape, kernel, bitmap):
+    """Batched submanifold rulebook over a bitmap lookup.
+
+    coords: (B, V, 3) zyx IN yxz ORDER (rows match the bitmap ranks).
+    Returns (idx (B, V, K), mask (B, V, K)) with idx in row (=rank) space.
+    """
+    k = _as3(kernel)
+    pad = tuple(kk // 2 for kk in k)
+    bev = _tap_offsets((1, k[1], k[2]))[:, 1:]              # (ky*kx, 2)
+    bev = jnp.asarray(bev - np.asarray(pad[1:]), jnp.int32)
+
+    def one(tb, tl, th, co):
+        idx, found = _bitmap_rulebook((tb, tl, th), co, bev, -pad[0],
+                                      k[0], shape)
+        return idx, found & (co[:, 0] >= 0)[:, None]
+
+    return jax.vmap(one)(*bitmap, coords)
+
+
+def conv_rulebook_bitmap(in_shape, out_coords, kernel, stride, padding,
+                         bitmap):
+    """Batched strided-conv rulebook over the input bitmap.
+    out_coords: (B, O, 3) (any order). idx is in the INPUT rank space."""
+    k, s, p = _as3(kernel), _as3(stride), _as3(padding)
+    bev = _tap_offsets((1, k[1], k[2]))[:, 1:]              # (ky*kx, 2)
+    bev = jnp.asarray(bev, jnp.int32)
+
+    def one(tb, tl, th, co):
+        scaled = co * jnp.asarray(s, jnp.int32)[None]
+        qy = scaled[:, None, 1] + bev[None, :, 0] - p[1]
+        qx = scaled[:, None, 2] + bev[None, :, 1] - p[2]
+        z0 = (scaled[:, 0] - p[0])[:, None]
+        z0 = jnp.broadcast_to(z0, qy.shape)
+        rank, found = _bitmap_column_ranks((tb, tl, th), qy, qx, z0,
+                                           k[0], in_shape)
+        o = co.shape[0]
+        idx = rank.transpose(0, 2, 1).reshape(o, -1)
+        fnd = found.transpose(0, 2, 1).reshape(o, -1)
+        return idx, fnd & (co[:, 0] >= 0)[:, None]
+
+    return jax.vmap(one)(*bitmap, out_coords)
+
+
+def stage_lookup_batch(coords, shape):
+    """Reorder rows into rank order and build this grid's preferred lookup.
+
+    The bitmap lookup (shallow grids, d <= 64 — every lidar resolution)
+    requires rows in yxz order; reordering costs one argsort + row gather
+    and makes the lookup kind an internal choice. Deep grids keep the
+    dense-table/sorted lookup (any order works, including this one).
+
+    Returns (order (B, V) int32, sorted_coords (B, V, 3), lookup_struct).
+    Callers must apply ``order`` to every per-row array (features, etc.).
+    """
+    order = jax.vmap(lambda c: yxz_order(c, shape))(coords)
+    co = jnp.take_along_axis(coords, order[..., None], axis=1)
+    if shape[0] <= 64:
+        return order, co, ("bitmap", build_bitmap_batch(co, shape))
+    return order, co, build_lookup_batch(co, shape)

@@ -108,14 +108,17 @@ def test_second_trains_and_detects(stack, rng):
     variables = model.init(
         jax.random.PRNGKey(0), example["voxels"],
         example["num_points_per_voxel"], example["coordinates"], train=False)
-    lr_fn, mom_fn = one_cycle(3e-3, 300)
+    # 500 steps: at 300 the tiny model sits right at the localization gate
+    # and ULP-level trajectory perturbations (e.g. voxel-row reordering in
+    # the sparse middle) flip it; 500 converges with margin
+    lr_fn, mom_fn = one_cycle(3e-3, 500)
     tx = build_optimizer(dict(TYPE="adam", VALUE=dict(wd=0.01),
                               FIXED_WD=True), lr_fn, mom_fn)
     state = TrainState.create(variables["params"], variables["batch_stats"],
                               tx)
     train_step = make_train_step(model, voxel_gen, assigners, class_ids)
     losses = []
-    for _ in range(300):
+    for _ in range(500):
         state, metrics = train_step(state, jbatch)
         losses.append(float(metrics["loss"]))
     assert np.isfinite(losses).all()

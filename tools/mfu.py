@@ -49,6 +49,9 @@ def main():
     ap.add_argument("--points", type=int, default=16384)
     ap.add_argument("--peak-tflops", type=float, default=197.0)
     ap.add_argument("--hbm-gbs", type=float, default=819.0)
+    ap.add_argument("--steps", default="predict,train",
+                    help="comma subset of predict,train (big sparse configs"
+                         " compile slowly; run one step per invocation)")
     args = ap.parse_args()
 
     import numpy as np
@@ -98,8 +101,11 @@ def main():
                                      test_cfg)
 
     print(f"config: {args.config}  batch={args.batch} points={args.points}")
+    wanted = {s.strip() for s in args.steps.split(",")}
     # predict first: the train step donates its state argument
     for name, step in (("predict", predict_step), ("train", train_step)):
+        if name not in wanted:
+            continue
         comp = step.lower(state, batch).compile()
         if name == "train":
             st = state
