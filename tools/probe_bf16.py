@@ -40,6 +40,8 @@ def main():
     from det3d_tpu.utils.synth import structured_batch
 
     batch_size = int(sys.argv[1]) if len(sys.argv) > 1 else 8
+    precisions = (sys.argv[2].split(",") if len(sys.argv) > 2
+                  else ["fp32", "bf16"])
     pc_range = (0.0, -39.68, -3.0, 69.12, 39.68, 1.0)
     test_cfg = dict(
         nms=dict(use_rotate_nms=True, use_multi_class_nms=False,
@@ -54,7 +56,7 @@ def main():
 
     results = {}
     state = None
-    for prec in ("fp32", "bf16"):
+    for prec in precisions:
         model, voxel_gen, assigners, class_ids = _build_flagship(
             voxel_size=(0.16, 0.16, 4.0), pc_range=pc_range,
             max_points=32, max_voxels=12000, precision=prec)
@@ -79,6 +81,8 @@ def main():
         print(f"{prec}: {t * 1e3:7.2f} ms/step "
               f"({batch_size / t:6.1f} scans/s)")
 
+    if not ("fp32" in results and "bf16" in results):
+        return
     (t32, o32), (t16, o16) = results["fp32"], results["bf16"]
     print(f"speedup: {t32 / t16:.2f}x")
     n32 = int((o32["scores"] > 0.3).sum())
