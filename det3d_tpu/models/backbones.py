@@ -83,13 +83,14 @@ class SparseConvBN(nn.Module):
     use_norm: bool = True       # False = the Nobn variants (scn.py:200)
 
     @nn.compact
-    def __call__(self, x, idx, mask, valid, train: bool = False):
+    def __call__(self, x, idx, mask, valid, train: bool = False,
+                 z_taps=None):
         kvol, cin = idx.shape[-1], x.shape[-1]
         w = self.param(
             "kernel",
             nn.initializers.variance_scaling(1.0, "fan_in", "uniform"),
             (kvol, cin, self.out_channels), jnp.float32)
-        y = sp.apply_conv(x, idx, mask, w)
+        y = sp.apply_conv(x, idx, mask, w, z_shift_taps=z_taps)
         if self.use_bias or not self.use_norm:
             y = y + self.param("bias", nn.initializers.zeros,
                                (self.out_channels,), jnp.float32)
@@ -112,11 +113,13 @@ class SparseBasicBlock(nn.Module):
 
     @nn.compact
     def __call__(self, x, idx, mask, valid, train: bool = False):
+        zt = sp.center_column_taps(3)
         y = SparseConvBN(self.channels, self.norm_cfg, self.axis_name,
-                         use_bias=True)(x, idx, mask, valid, train)
+                         use_bias=True)(x, idx, mask, valid, train,
+                                        z_taps=zt)
         y = SparseConvBN(self.channels, self.norm_cfg, self.axis_name,
                          use_bias=True, relu=False)(y, idx, mask, valid,
-                                                    train)
+                                                    train, z_taps=zt)
         return nn.relu(x + y)
 
 
@@ -312,23 +315,23 @@ class SpMiddleFHD(nn.Module):
         x = jnp.take_along_axis(voxel_features, order0[..., None], axis=1)
         sidx0, smask0 = sp.subm_rulebook_batch(coords, shape0, 3, lookup0)
         valid0 = coords[:, :, 0] >= 0
-        x = SCB(16)(x, sidx0, smask0, valid0, train)
-        x = SCB(16)(x, sidx0, smask0, valid0, train)
+        x = SCB(16)(x, sidx0, smask0, valid0, train, z_taps=sp.center_column_taps(3))
+        x = SCB(16)(x, sidx0, smask0, valid0, train, z_taps=sp.center_column_taps(3))
 
         co1, didx, dmask, sidx, smask, shape1, lk1 = _stage_rulebooks(
             coords, shape0, 3, 2, 1, caps[0], lookup0)
         valid1 = co1[:, :, 0] >= 0
         x = SCB(32)(x, didx, dmask, valid1, train)
-        x = SCB(32)(x, sidx, smask, valid1, train)
-        x = SCB(32)(x, sidx, smask, valid1, train)
+        x = SCB(32)(x, sidx, smask, valid1, train, z_taps=sp.center_column_taps(3))
+        x = SCB(32)(x, sidx, smask, valid1, train, z_taps=sp.center_column_taps(3))
 
         co2, didx, dmask, sidx, smask, shape2, lk2 = _stage_rulebooks(
             co1, shape1, 3, 2, 1, caps[1], lk1)
         valid2 = co2[:, :, 0] >= 0
         x = SCB(64)(x, didx, dmask, valid2, train)
-        x = SCB(64)(x, sidx, smask, valid2, train)
-        x = SCB(64)(x, sidx, smask, valid2, train)
-        x = SCB(64)(x, sidx, smask, valid2, train)
+        x = SCB(64)(x, sidx, smask, valid2, train, z_taps=sp.center_column_taps(3))
+        x = SCB(64)(x, sidx, smask, valid2, train, z_taps=sp.center_column_taps(3))
+        x = SCB(64)(x, sidx, smask, valid2, train, z_taps=sp.center_column_taps(3))
 
         if self.dense_tail:
             # res3 on: dense conv3d with active-site masking (see the
@@ -354,9 +357,9 @@ class SpMiddleFHD(nn.Module):
             co2, shape2, 3, 2, (0, 1, 1), caps[2], lk2)
         valid3 = co3[:, :, 0] >= 0
         x = SCB(64)(x, didx, dmask, valid3, train)
-        x = SCB(64)(x, sidx, smask, valid3, train)
-        x = SCB(64)(x, sidx, smask, valid3, train)
-        x = SCB(64)(x, sidx, smask, valid3, train)
+        x = SCB(64)(x, sidx, smask, valid3, train, z_taps=sp.center_column_taps(3))
+        x = SCB(64)(x, sidx, smask, valid3, train, z_taps=sp.center_column_taps(3))
+        x = SCB(64)(x, sidx, smask, valid3, train, z_taps=sp.center_column_taps(3))
 
         co4, didx, dmask, _, _, shape4, _ = _stage_rulebooks(
             co3, shape3, (3, 1, 1), (2, 1, 1), 0, caps[3], lk3,
@@ -391,7 +394,7 @@ class SpMiddleResNetFHD(nn.Module):
         x = jnp.take_along_axis(voxel_features, order0[..., None], axis=1)
         sidx0, smask0 = sp.subm_rulebook_batch(coords, shape0, 3, lookup0)
         valid0 = coords[:, :, 0] >= 0
-        x = SparseConvBN(16, cfg, ax)(x, sidx0, smask0, valid0, train)
+        x = SparseConvBN(16, cfg, ax)(x, sidx0, smask0, valid0, train, z_taps=sp.center_column_taps(3))
         x = SparseBasicBlock(16, cfg, ax)(x, sidx0, smask0, valid0, train)
         x = SparseBasicBlock(16, cfg, ax)(x, sidx0, smask0, valid0, train)
 
@@ -494,26 +497,26 @@ class RCNNSpMiddleFHD(nn.Module):
         x = jnp.take_along_axis(voxel_features, order0[..., None], axis=1)
         sidx0, smask0 = sp.subm_rulebook_batch(coords, shape0, 3, lookup0)
         valid0 = coords[:, :, 0] >= 0
-        x = SparseConvBN(16, cfg, ax)(x, sidx0, smask0, valid0, train)
-        x = SparseConvBN(16, cfg, ax)(x, sidx0, smask0, valid0, train)
+        x = SparseConvBN(16, cfg, ax)(x, sidx0, smask0, valid0, train, z_taps=sp.center_column_taps(3))
+        x = SparseConvBN(16, cfg, ax)(x, sidx0, smask0, valid0, train, z_taps=sp.center_column_taps(3))
 
         co1, didx, dmask, sidx, smask, shape1, lk1 = _stage_rulebooks(
             coords, shape0, 3, 2, 1, caps[0], lookup0)
         valid1 = co1[:, :, 0] >= 0
         x = SparseConvBN(32, cfg, ax)(x, didx, dmask, valid1, train)
-        x = SparseConvBN(32, cfg, ax)(x, sidx, smask, valid1, train)
+        x = SparseConvBN(32, cfg, ax)(x, sidx, smask, valid1, train, z_taps=sp.center_column_taps(3))
 
         co2, didx, dmask, sidx, smask, shape2, lk2 = _stage_rulebooks(
             co1, shape1, 3, 2, 1, caps[1], lk1)
         valid2 = co2[:, :, 0] >= 0
         x = SparseConvBN(64, cfg, ax)(x, didx, dmask, valid2, train)
-        x = SparseConvBN(64, cfg, ax)(x, sidx, smask, valid2, train)
+        x = SparseConvBN(64, cfg, ax)(x, sidx, smask, valid2, train, z_taps=sp.center_column_taps(3))
 
         co3, didx, dmask, sidx, smask, shape3, lk3 = _stage_rulebooks(
             co2, shape2, 3, 2, (0, 1, 1), caps[2], lk2)
         valid3 = co3[:, :, 0] >= 0
         x = SparseConvBN(64, cfg, ax)(x, didx, dmask, valid3, train)
-        x = SparseConvBN(64, cfg, ax)(x, sidx, smask, valid3, train)
+        x = SparseConvBN(64, cfg, ax)(x, sidx, smask, valid3, train, z_taps=sp.center_column_taps(3))
 
         co4, didx, dmask, _, _, shape4, _ = _stage_rulebooks(
             co3, shape3, (3, 1, 1), (2, 1, 1), 0, caps[3], lk3,

@@ -336,7 +336,7 @@ def conv_rulebook(in_coords, in_shape, out_coords, kernel, stride, padding):
 
 
 
-def apply_conv(features, idx, mask, weights):
+def apply_conv(features, idx, mask, weights, z_shift_taps=None):
     """Gather-GEMM sparse convolution.
 
     features: (B, V, Cin); idx/mask: (B, O, K); weights: (K, Cin, Cout).
@@ -344,16 +344,44 @@ def apply_conv(features, idx, mask, weights):
     the three into a single pass over (O, Cin) at ~0.4 ms per 20k x 64ch
     layer; a monolithic (O, K*Cin) GEMM formulation measures 10x slower
     because it materializes the 138 MB masked 27-tap gather buffer.
+
+    ``z_shift_taps`` = (k_minus, k_center, k_plus): for SUBMANIFOLD
+    rulebooks over rank-ordered rows (the framework invariant after
+    stage_lookup_batch), the (0, 0, dz) taps need no gather at all —
+    ranks within a z-column are consecutive, so the z-1/z+1 neighbor, when
+    present, is exactly the previous/next ROW and the center tap is the
+    identity. The rulebook mask already encodes presence. Cuts 3 of the
+    27 row-gather descriptors per layer (the conv's cost unit).
     """
     kvol = weights.shape[0]
+    shifts = {}
+    if z_shift_taps is not None:
+        shifts = {z_shift_taps[0]: -1, z_shift_taps[1]: 0,
+                  z_shift_taps[2]: +1}
     out = None
     for k in range(kvol):
-        g = jnp.take_along_axis(features, idx[:, :, k][..., None], axis=1)
+        d = shifts.get(k)
+        if d == 0:
+            g = features
+        elif d == -1:
+            g = jnp.pad(features, ((0, 0), (1, 0), (0, 0)))[:, :-1]
+        elif d == 1:
+            g = jnp.pad(features, ((0, 0), (0, 1), (0, 0)))[:, 1:]
+        else:
+            g = jnp.take_along_axis(features, idx[:, :, k][..., None],
+                                    axis=1)
         g = g * mask[:, :, k][..., None].astype(features.dtype)
         y = jnp.einsum("boc,cd->bod", g, weights[k],
                        preferred_element_type=jnp.float32)
         out = y if out is None else out + y
     return out
+
+
+# z-major (dz, dy, dx) tap indices of the center BEV column for a cubic
+# kernel k: (jz*k + k//2)*k + k//2
+def center_column_taps(kernel=3):
+    k = _as3(kernel)[0]
+    return tuple((jz * k + k // 2) * k + k // 2 for jz in range(3))
 
 
 def to_dense(features, coords, shape):
