@@ -119,3 +119,24 @@ def test_fileio_roundtrip_and_progress(tmp_path, capsys):
     assert list(fileio.track_iter_progress([5, 6])) == [5, 6]
     captured = capsys.readouterr()
     assert "3/3" in captured.out
+
+
+def test_dist_primitives_single_process():
+    from det3d_tpu.parallel.dist_utils import (get_dist_info, master_only,
+                                               reduce_dict, synchronize)
+    rank, world = get_dist_info()
+    assert rank == 0 and world >= 1
+    synchronize()                                 # no-op barrier
+
+    calls = []
+
+    @master_only
+    def only_rank0(x):
+        calls.append(x)
+        return x * 2
+
+    assert only_rank0(21) == 42 and calls == [21]
+
+    red = reduce_dict({"loss": 1.5, "acc": np.float64(0.5)})
+    assert red == {"acc": 0.5, "loss": 1.5}
+    assert all(isinstance(v, float) for v in red.values())
