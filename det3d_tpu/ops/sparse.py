@@ -374,7 +374,11 @@ def apply_conv(features, idx, mask, weights, z_shift_taps=None):
     # gather taps ride a lax.scan: measured within 7% of the fully
     # unrolled form (bit-identical output) while shrinking the HLO ~27x —
     # the difference between minutes and tens of seconds of XLA compile
-    # for the deep sparse middles
+    # for the deep sparse middles.
+    # (Tried, measured, rejected: packing P voxels per gathered row to cut
+    # descriptor count — P=2 costs 1.3x, P=4 2.4x a plain row gather; row
+    # fetch cost is width-proportional at these sizes, so there is nothing
+    # to amortize. The remaining per-layer floor is K'xV row fetches.)
     gather_taps = np.asarray([k for k in range(kvol) if k not in shifts],
                              np.int32)
     idx_g = idx[:, :, gather_taps].transpose(2, 0, 1)        # (K', B, O)
