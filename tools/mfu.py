@@ -124,10 +124,15 @@ def main():
         t = _timeit(call, fence)
         mfu = flops / t / (args.peak_tflops * 1e12)
         bwu = byts / t / (args.hbm_gbs * 1e9)
+        # "bytes accessed" counts full gather operands per op, so bwu is
+        # an upper bound on physical traffic and can exceed 100% on
+        # gather-heavy programs
+        bwu_s = (f"{bwu * 100:5.1f}%" if bwu <= 1.0
+                 else f">100% (gather-inflated x{bwu:.1f})")
         print(f"{name:8s}: {t * 1e3:8.2f} ms/step "
               f"({t * 1e3 / args.batch:7.2f} ms/scan)  "
               f"flops={flops / 1e9:8.1f}G  bytes={byts / 1e9:7.2f}GB  "
-              f"MFU={mfu * 100:5.2f}%  HBM-util={bwu * 100:5.1f}%")
+              f"MFU={mfu * 100:5.2f}%  HBM-util={bwu_s}")
 
 
 if __name__ == "__main__":
