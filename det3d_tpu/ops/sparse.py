@@ -37,18 +37,6 @@ import jax.numpy as jnp
 _SENTINEL = np.iinfo(np.int32).max
 
 
-def _mix32(x):
-    """Murmur3 finalizer: a bijective mix on uint32 (shared with
-    core/voxelize.py's hashed ordering)."""
-    x = x.astype(jnp.uint32)
-    x = x ^ (x >> 16)
-    x = x * jnp.uint32(0x85EBCA6B)
-    x = x ^ (x >> 13)
-    x = x * jnp.uint32(0xC2B2AE35)
-    x = x ^ (x >> 16)
-    return x
-
-
 def _as3(v) -> Tuple[int, int, int]:
     if isinstance(v, (int, np.integer)):
         return (int(v),) * 3
