@@ -181,7 +181,7 @@ def train_detector(cfg, work_dir: Optional[str] = None,
 
 
 def eval_detector(cfg, state, work_dir: Optional[str] = None,
-                  split: str = "val", use_mesh: bool = False):
+                  split: str = "val", use_mesh: bool = True):
     """Run prediction over a split and the dataset's official evaluation.
 
     Parity: tools/dist_test.py:130-241 (minus the NCCL plumbing)."""

@@ -7,6 +7,7 @@ bboxes), and evaluates with the official AP kernels (eval.py here).
 
 from __future__ import annotations
 
+import logging
 import pickle
 from pathlib import Path
 
@@ -71,6 +72,19 @@ class KittiDataset(PointCloudDataset):
         empty_det = {"box3d_lidar": np.zeros((0, 7), np.float32),
                      "scores": np.zeros((0,), np.float32),
                      "label_preds": np.zeros((0,), np.int64)}
+        missing = [str(info["image"]["image_idx"])
+                   for info in self._kitti_infos
+                   if str(info["image"]["image_idx"]) not in detection]
+        if missing:
+            # a token with no detection entry means the predict loop never
+            # saw that example — almost certainly an eval-pipeline bug, not
+            # a scan with zero objects (those yield an empty but PRESENT
+            # entry). Evaluate anyway (as the reference does), but loudly.
+            logging.getLogger("det3d").warning(
+                "convert_detection_to_kitti_annos: %d/%d val tokens have no "
+                "detection entry (first few: %s) — treating them as empty. "
+                "This usually indicates a broken eval loop, not empty scans.",
+                len(missing), len(self._kitti_infos), missing[:5])
         for info in self._kitti_infos:
             token = str(info["image"]["image_idx"])
             det = detection.get(token, empty_det)

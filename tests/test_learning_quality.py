@@ -30,8 +30,10 @@ def test_trains_to_detection_quality(tmp_path_factory):
     trainer = train_detector(cfg, work_dir=str(work))
     results, dets = eval_detector(cfg, trainer.state, work_dir=str(work))
     detail = results["detail"]["eval.kitti"]["official"]
-    # loose-overlap 3D AP (IoU 0.5): the model must genuinely detect
-    assert detail["Car_3d_easy_loose"] > 40.0, detail
+    # loose-overlap 3D AP (IoU 0.5): the model must genuinely detect.
+    # Recipe reproducibly reaches ~81; the 70 gate absorbs seed variance
+    # while still failing on any real training-path regression.
+    assert detail["Car_3d_easy_loose"] > 70.0, detail
     # and the strict bbox AP shows localization, not box spam
     assert detail["Car_bbox_easy"] > 40.0, detail
 
@@ -52,5 +54,7 @@ def test_sparse_family_trains_to_detection_quality(tmp_path_factory):
     trainer = train_detector(cfg, work_dir=str(work))
     results, dets = eval_detector(cfg, trainer.state, work_dir=str(work))
     detail = results["detail"]["eval.kitti"]["official"]
-    assert detail["Car_3d_easy_loose"] > 40.0, detail
+    # sparse recipe is noisier than the pillar one; 60 still fails a 2x
+    # training-quality regression (reproduced level ~81)
+    assert detail["Car_3d_easy_loose"] > 60.0, detail
     assert detail["Car_bbox_easy"] > 40.0, detail
