@@ -85,7 +85,12 @@ class SparseConvBN(nn.Module):
     @nn.compact
     def __call__(self, x, idx, mask, valid, train: bool = False,
                  z_taps=None):
-        kvol, cin = idx.shape[-1], x.shape[-1]
+        # window rulebooks (mask 4-D: idx=r0, mask=per-column tap presence)
+        # and flat per-tap rulebooks share the (kvol, cin, cout) weight
+        # layout; sp.apply_conv dispatches on the format
+        kvol = (mask.shape[-1] * mask.shape[-2] if mask.ndim == 4
+                else idx.shape[-1])
+        cin = x.shape[-1]
         w = self.param(
             "kernel",
             nn.initializers.variance_scaling(1.0, "fan_in", "uniform"),
@@ -153,12 +158,14 @@ def _stage_rulebooks(coords, shape, down_kernel, down_stride, down_pad,
                                       down_pad, max_out))(coords)
     if build_subm:
         _, out_co, out_lookup = sp.stage_lookup_batch(out_co, oshape)
-        sidx, smask = sp.subm_rulebook_batch(out_co, oshape, 3, out_lookup)
+        sidx, smask = sp.subm_window_rulebook_batch(out_co, oshape, 3,
+                                                    out_lookup)
     else:
         out_lookup = sidx = smask = None
     # after the reorder, so the down-rulebook rows match the new ordering
-    didx, dmask = sp.conv_rulebook_batch(shape, out_co, down_kernel,
-                                         down_stride, down_pad, in_lookup)
+    didx, dmask = sp.conv_window_rulebook_batch(shape, out_co, down_kernel,
+                                                down_stride, down_pad,
+                                                in_lookup)
     return out_co, didx, dmask, sidx, smask, oshape, out_lookup
 
 
@@ -313,7 +320,7 @@ class SpMiddleFHD(nn.Module):
 
         order0, coords, lookup0 = sp.stage_lookup_batch(coords, shape0)
         x = jnp.take_along_axis(voxel_features, order0[..., None], axis=1)
-        sidx0, smask0 = sp.subm_rulebook_batch(coords, shape0, 3, lookup0)
+        sidx0, smask0 = sp.subm_window_rulebook_batch(coords, shape0, 3, lookup0)
         valid0 = coords[:, :, 0] >= 0
         x = SCB(16)(x, sidx0, smask0, valid0, train, z_taps=sp.center_column_taps(3))
         x = SCB(16)(x, sidx0, smask0, valid0, train, z_taps=sp.center_column_taps(3))
@@ -392,7 +399,7 @@ class SpMiddleResNetFHD(nn.Module):
 
         order0, coords, lookup0 = sp.stage_lookup_batch(coords, shape0)
         x = jnp.take_along_axis(voxel_features, order0[..., None], axis=1)
-        sidx0, smask0 = sp.subm_rulebook_batch(coords, shape0, 3, lookup0)
+        sidx0, smask0 = sp.subm_window_rulebook_batch(coords, shape0, 3, lookup0)
         valid0 = coords[:, :, 0] >= 0
         x = SparseConvBN(16, cfg, ax)(x, sidx0, smask0, valid0, train, z_taps=sp.center_column_taps(3))
         x = SparseBasicBlock(16, cfg, ax)(x, sidx0, smask0, valid0, train)
@@ -495,7 +502,7 @@ class RCNNSpMiddleFHD(nn.Module):
 
         order0, coords, lookup0 = sp.stage_lookup_batch(coords, shape0)
         x = jnp.take_along_axis(voxel_features, order0[..., None], axis=1)
-        sidx0, smask0 = sp.subm_rulebook_batch(coords, shape0, 3, lookup0)
+        sidx0, smask0 = sp.subm_window_rulebook_batch(coords, shape0, 3, lookup0)
         valid0 = coords[:, :, 0] >= 0
         x = SparseConvBN(16, cfg, ax)(x, sidx0, smask0, valid0, train, z_taps=sp.center_column_taps(3))
         x = SparseConvBN(16, cfg, ax)(x, sidx0, smask0, valid0, train, z_taps=sp.center_column_taps(3))

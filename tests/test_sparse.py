@@ -226,3 +226,104 @@ def test_native_kernels_match_numpy(rng):
     ref = augment.intersection_area_corners(pa, pb)
     np.testing.assert_allclose(nat, ref, rtol=1e-9, atol=1e-9)
 
+
+
+# ---------------------------------------------------------------------------
+# Window rulebooks (per-BEV-column contiguous-rank fetches)
+# ---------------------------------------------------------------------------
+
+
+def _ranked(rng, b, n_active, v_pad, c, shape):
+    """Batched random sparse tensors in yxz rank order + bitmap lookup."""
+    d, h, w = shape
+    feats, coords = [], []
+    for i in range(b):
+        lin = rng.choice(d * h * w, size=n_active, replace=False)
+        z, y, x = lin // (h * w), (lin // w) % h, lin % w
+        co = np.full((v_pad, 3), -1, np.int32)
+        co[:n_active] = np.stack([z, y, x], -1)
+        f = np.zeros((v_pad, c), np.float32)
+        f[:n_active] = rng.randn(n_active, c).astype(np.float32)
+        feats.append(f)
+        coords.append(co)
+    feats = jnp.asarray(np.stack(feats))
+    coords = jnp.asarray(np.stack(coords))
+    order, coords, lookup = sp.stage_lookup_batch(coords, shape)
+    feats = jnp.take_along_axis(feats, order[..., None], axis=1)
+    return feats, coords, lookup
+
+
+def test_window_subm_matches_flat(rng):
+    feats, coords, lookup = _ranked(rng, 2, 40, 64, 6, SHAPE)
+    w = jnp.asarray(rng.randn(27, 6, 8).astype(np.float32))
+    assert lookup[0] == "bitmap"
+
+    fidx, fmask = sp.subm_rulebook_batch(coords, SHAPE, 3, lookup)
+    ref = sp.apply_conv(feats, fidx, fmask, w)
+
+    r0, pres = sp.subm_window_rulebook_batch(coords, SHAPE, 3, lookup)
+    assert pres.ndim == 4
+    out = sp.apply_conv(feats, r0, pres, w)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               rtol=2e-4, atol=2e-4)
+
+    # the center-shift fast path (dispatched via z_shift_taps)
+    out_s = sp.apply_conv(feats, r0, pres, w,
+                          z_shift_taps=sp.center_column_taps(3))
+    np.testing.assert_allclose(np.asarray(out_s), np.asarray(ref),
+                               rtol=2e-4, atol=2e-4)
+
+
+def test_window_strided_matches_flat(rng):
+    feats, coords, lookup = _ranked(rng, 2, 35, 64, 4, SHAPE)
+    w = jnp.asarray(rng.randn(27, 4, 5).astype(np.float32))
+    pad = (0, 1, 1)
+    out_co, _ = jax.vmap(
+        lambda co: sp.conv_out_coords(co, SHAPE, 3, 2, pad, 128))(coords)
+
+    fidx, fmask = sp.conv_rulebook_batch(SHAPE, out_co, 3, 2, pad, lookup)
+    ref = sp.apply_conv(feats, fidx, fmask, w)
+
+    r0, pres = sp.conv_window_rulebook_batch(SHAPE, out_co, 3, 2, pad,
+                                             lookup)
+    out = sp.apply_conv(feats, r0, pres, w)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               rtol=2e-4, atol=2e-4)
+
+
+def test_window_non_cubic_z_collapse(rng):
+    """(3,1,1)/(2,1,1) final-stage conv: Kbev=1, kz=3 windows."""
+    feats, coords, lookup = _ranked(rng, 1, 30, 48, 4, SHAPE)
+    w = jnp.asarray(rng.randn(3, 4, 4).astype(np.float32))
+    out_co, _ = jax.vmap(lambda co: sp.conv_out_coords(
+        co, SHAPE, (3, 1, 1), (2, 1, 1), 0, 128))(coords)
+    fidx, fmask = sp.conv_rulebook_batch(SHAPE, out_co, (3, 1, 1),
+                                         (2, 1, 1), 0, lookup)
+    ref = sp.apply_conv(feats, fidx, fmask, w)
+    r0, pres = sp.conv_window_rulebook_batch(SHAPE, out_co, (3, 1, 1),
+                                             (2, 1, 1), 0, lookup)
+    out = sp.apply_conv(feats, r0, pres, w)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               rtol=2e-4, atol=2e-4)
+
+
+def test_window_conv_grad_flows(rng):
+    feats, coords, lookup = _ranked(rng, 1, 30, 48, 4, SHAPE)
+    w = jnp.asarray(rng.randn(27, 4, 4).astype(np.float32))
+    r0, pres = sp.subm_window_rulebook_batch(coords, SHAPE, 3, lookup)
+    fidx, fmask = sp.subm_rulebook_batch(coords, SHAPE, 3, lookup)
+
+    def loss_win(f, ww):
+        return sp.apply_conv(f, r0, pres, ww,
+                             z_shift_taps=sp.center_column_taps(3)).sum()
+
+    def loss_flat(f, ww):
+        return sp.apply_conv(f, fidx, fmask, ww).sum()
+
+    gf_w, gw_w = jax.grad(loss_win, argnums=(0, 1))(feats, w)
+    gf_f, gw_f = jax.grad(loss_flat, argnums=(0, 1))(feats, w)
+    assert np.isfinite(np.asarray(gf_w)).all()
+    np.testing.assert_allclose(np.asarray(gf_w), np.asarray(gf_f),
+                               rtol=2e-4, atol=2e-4)
+    np.testing.assert_allclose(np.asarray(gw_w), np.asarray(gw_f),
+                               rtol=2e-4, atol=2e-4)
