@@ -44,12 +44,18 @@ def build_stack(cfg):
     """Build (model, voxel_gen, assigners, class_ids_per_task, test_cfg)
     from a reference-schema config."""
     vg_cfg = cfg["voxel_generator"]
+    # mean readers get the fused voxelize+VFE path (no (V, T, C) buffer;
+    # core/voxelize.py::voxelize_mean) unless the config opts out
+    reader_type = cfg["model"].get("reader", {}).get("type", "")
+    fuse_mean = vg_cfg.get("fuse_mean",
+                           reader_type == "VoxelFeatureExtractorV3")
     voxel_gen = VoxelGenerator(
         voxel_size=vg_cfg["voxel_size"],
         point_cloud_range=vg_cfg["range"],
         max_num_points=vg_cfg.get("max_points_in_voxel", 100),
         max_voxels=vg_cfg.get("max_voxel_num", 20000),
-        order=vg_cfg.get("order", "appearance"))
+        order=vg_cfg.get("order", "appearance"),
+        fuse_mean=bool(fuse_mean))
     grid = voxel_gen.grid_size
 
     model = build_detector(cfg["model"], train_cfg=cfg.get("train_cfg"),

@@ -212,6 +212,86 @@ def _voxelize_hashed(points, lin, grid_size, max_voxels, max_points):
     }
 
 
+@partial(jax.jit, static_argnames=("voxel_size", "pc_range", "grid_size",
+                                   "max_voxels", "max_points"))
+def voxelize_mean(points, num_points, *, voxel_size, pc_range,
+                  grid_size, max_voxels: int, max_points: int):
+    """Fused voxelize + mean-VFE: per-voxel feature means with NO padded
+    (V, T, C) buffer.
+
+    For mean readers (VoxelFeatureExtractorV3, voxel_encoder.py:198-211)
+    the buffer is pure overhead: this path sorts points by hashed voxel key
+    (same segments/overflow semantics as order="hashed") and scatter-adds
+    each point's features straight into a (max_voxels, C) accumulator —
+    only the first ``max_points`` points of a voxel contribute, exactly
+    matching the buffer+mask mean. (A cumsum-difference segment sum was
+    considered and rejected: fp32 prefix sums over a 300k-point cloud reach
+    ~1e7, so the subtraction loses ~1 absolute — unacceptable for
+    coordinate features.)
+
+    Returns dict: voxels (max_voxels, C) feature MEANS, coords,
+    num_points_per_voxel, num_voxels.
+    """
+    P, C = points.shape
+    gx, gy, gz = grid_size
+    vsize = jnp.asarray(voxel_size, points.dtype)
+    vmin = jnp.asarray(pc_range[:3], points.dtype)
+
+    idx = jnp.arange(P, dtype=jnp.int32)
+    valid = idx < num_points
+    coords = jnp.floor((points[:, :3] - vmin) / vsize).astype(jnp.int32)
+    in_range = (
+        valid
+        & (coords[:, 0] >= 0) & (coords[:, 0] < gx)
+        & (coords[:, 1] >= 0) & (coords[:, 1] < gy)
+        & (coords[:, 2] >= 0) & (coords[:, 2] < gz)
+    )
+    lin = coords[:, 0] + coords[:, 1] * gx + coords[:, 2] * (gx * gy)
+    lin = jnp.where(in_range, lin, _SENTINEL)
+
+    pos = jnp.arange(P, dtype=jnp.int32)
+    key = jnp.where(lin == _SENTINEL, jnp.uint32(0xFFFFFFFF), _mix32(lin))
+    _, sorted_lin, perm = jax.lax.sort((key, lin, pos), num_keys=2)
+    svalid = sorted_lin != _SENTINEL
+    head = svalid & jnp.concatenate(
+        [jnp.ones((1,), bool), sorted_lin[1:] != sorted_lin[:-1]])
+    seg_id = jnp.maximum(jnp.cumsum(head.astype(jnp.int32)) - 1, 0)
+    start = jax.lax.cummax(jnp.where(head, pos, 0))
+    slot_p = pos - start
+    write = svalid & (seg_id < max_voxels) & (slot_p < max_points)
+
+    contrib = points[perm] * write[:, None].astype(points.dtype)
+    sums = jnp.zeros((max_voxels, C), points.dtype).at[
+        jnp.where(write, seg_id, max_voxels)].add(contrib, mode="drop")
+
+    safe = jnp.where(svalid, sorted_lin, 0)
+    xx = safe % gx
+    yy = (safe // gx) % gy
+    zz = safe // (gx * gy)
+    payload = jnp.stack([zz, yy, xx, pos], axis=-1)
+    tgt = jnp.where(head & (seg_id < max_voxels), seg_id, max_voxels)
+    table = jnp.zeros((max_voxels, 4), jnp.int32).at[tgt].set(
+        payload, mode="drop")
+
+    num_voxels = jnp.minimum(jnp.sum(head.astype(jnp.int32)), max_voxels)
+    vvalid = jnp.arange(max_voxels, dtype=jnp.int32) < num_voxels
+    out_coords = jnp.where(vvalid[:, None], table[:, :3], -1)
+
+    n_kept = jnp.sum((svalid & (seg_id < max_voxels)).astype(jnp.int32))
+    starts = jnp.where(vvalid, table[:, 3], n_kept)
+    ends = jnp.concatenate([starts[1:], n_kept[None]])
+    counts = jnp.clip(ends - starts, 0, max_points)
+    counts = jnp.where(vvalid, counts, 0).astype(jnp.int32)
+
+    means = sums / jnp.maximum(counts, 1)[:, None].astype(points.dtype)
+    return {
+        "voxels": means,
+        "coords": out_coords,
+        "num_points_per_voxel": counts,
+        "num_voxels": num_voxels,
+    }
+
+
 @dataclass(frozen=True)
 class VoxelGenerator:
     """Config-level wrapper mirroring det3d/core/input/voxel_generator.py:5-43.
@@ -231,6 +311,11 @@ class VoxelGenerator:
     # voxels regardless of density, so use it when max_voxels cannot
     # overflow (the voxel SET is then identical, only row order differs).
     order: str = "appearance"
+    # fuse_mean: emit per-voxel feature MEANS (max_voxels, C) directly —
+    # no (V, T, C) buffer — for mean readers (VoxelFeatureExtractorV3).
+    # Hashed segments/overflow semantics. apis.train.build_stack switches
+    # this on automatically for VFEV3 configs.
+    fuse_mean: bool = False
 
     @property
     def grid_size(self) -> Tuple[int, int, int]:
@@ -240,6 +325,15 @@ class VoxelGenerator:
         return tuple(int(v) for v in g)
 
     def generate(self, points, num_points):
+        if self.fuse_mean:
+            return voxelize_mean(
+                points, num_points,
+                voxel_size=tuple(float(v) for v in self.voxel_size),
+                pc_range=tuple(float(v) for v in self.point_cloud_range),
+                grid_size=self.grid_size,
+                max_voxels=int(self.max_voxels),
+                max_points=int(self.max_num_points),
+            )
         return voxelize(
             points, num_points,
             voxel_size=tuple(float(v) for v in self.voxel_size),
@@ -251,7 +345,12 @@ class VoxelGenerator:
         )
 
     def generate_batch(self, points, num_points):
-        """vmap over a (B, P, C) batch of padded clouds."""
+        """Batch of (B, P, C) padded clouds. The fused-mean path maps
+        per-sample (its P-row scatter-add degrades ~5x under vmap, like
+        every batch scatter here); the buffer path vmaps."""
+        if self.fuse_mean:
+            return jax.lax.map(lambda a: self.generate(*a),
+                               (points, num_points))
         fn = partial(
             voxelize,
             voxel_size=tuple(float(v) for v in self.voxel_size),

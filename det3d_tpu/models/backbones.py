@@ -300,10 +300,15 @@ class SpMiddleFHD(nn.Module):
     # serving configs may set e.g. (1.0, 1.0, 0.75, 0.7).
     stage_caps: Sequence[float] = (1.0, 1.0, 1.0, 1.0)
     use_norm: bool = True         # False = SpMiddleFHDNobn (scn.py:200)
-    # res3 onward on dense conv3d (measured ~12 ms/scan faster at KITTI
-    # scale, exactly equivalent while stage caps do not overflow — see the
-    # dense-tail note); False = rulebooks everywhere
+    # Stages >= dense_from run on dense conv3d with active-site masking —
+    # exactly equivalent while stage caps do not overflow (see the
+    # dense-tail note). The crossover is an occupancy/FLOP tradeoff: at
+    # KITTI scale res3-on dense measured ~12 ms/scan faster; at CBGS 60k-
+    # voxel scale the res2 grid is ~8% occupied and dense_from=2 pays.
+    # dense_tail=False disables the dense path entirely (rulebooks
+    # everywhere).
     dense_tail: bool = True
+    dense_from: int = 3
     name_str: str = "SpMiddleFHD"
 
     @nn.compact
@@ -314,62 +319,62 @@ class SpMiddleFHD(nn.Module):
         cfg, ax = self.norm_cfg, self.axis_name
         v = coords.shape[1]
         caps = [max(64, int(v * f)) for f in self.stage_caps]
+        start = max(1, self.dense_from) if self.dense_tail else 4
+        zt = sp.center_column_taps(3)
 
         def SCB(ch):
             return SparseConvBN(ch, cfg, ax, use_norm=self.use_norm)
 
+        def DCB(ch, **kw):
+            return DenseConvBN(ch, norm_cfg=cfg, axis_name=ax,
+                               use_norm=self.use_norm, **kw)
+
         order0, coords, lookup0 = sp.stage_lookup_batch(coords, shape0)
         x = jnp.take_along_axis(voxel_features, order0[..., None], axis=1)
-        sidx0, smask0 = sp.subm_window_rulebook_batch(coords, shape0, 3, lookup0)
+        sidx0, smask0 = sp.subm_window_rulebook_batch(coords, shape0, 3,
+                                                      lookup0)
         valid0 = coords[:, :, 0] >= 0
-        x = SCB(16)(x, sidx0, smask0, valid0, train, z_taps=sp.center_column_taps(3))
-        x = SCB(16)(x, sidx0, smask0, valid0, train, z_taps=sp.center_column_taps(3))
+        x = SCB(16)(x, sidx0, smask0, valid0, train, z_taps=zt)
+        x = SCB(16)(x, sidx0, smask0, valid0, train, z_taps=zt)
 
-        co1, didx, dmask, sidx, smask, shape1, lk1 = _stage_rulebooks(
-            coords, shape0, 3, 2, 1, caps[0], lookup0)
-        valid1 = co1[:, :, 0] >= 0
-        x = SCB(32)(x, didx, dmask, valid1, train)
-        x = SCB(32)(x, sidx, smask, valid1, train, z_taps=sp.center_column_taps(3))
-        x = SCB(32)(x, sidx, smask, valid1, train, z_taps=sp.center_column_taps(3))
+        # (channels, n_subm, kernel, stride, padding) per downsample stage
+        specs = [(32, 2, 3, 2, 1), (64, 3, 3, 2, 1), (64, 3, 3, 2, (0, 1, 1))]
+        co, shape, lk = coords, shape0, lookup0
+        xd = occ = None
+        for i, (ch, n_subm, k, s, p) in enumerate(specs, start=1):
+            if i < start:
+                co, didx, dmask, sidx, smask, shape, lk = _stage_rulebooks(
+                    co, shape, k, s, p, caps[i - 1], lk)
+                valid = co[:, :, 0] >= 0
+                x = SCB(ch)(x, didx, dmask, valid, train)
+                for _ in range(n_subm):
+                    x = SCB(ch)(x, sidx, smask, valid, train, z_taps=zt)
+            elif i == start:
+                # transition: sparse strided conv, then densify this stage
+                co, didx, dmask, _, _, shape, _ = _stage_rulebooks(
+                    co, shape, k, s, p, caps[i - 1], lk, build_subm=False)
+                valid = co[:, :, 0] >= 0
+                x = SCB(ch)(x, didx, dmask, valid, train)
+                occ = _occupancy(co, shape)
+                xd = sp.to_dense(x, co, shape)
+                for _ in range(n_subm):
+                    xd = DCB(ch)(xd, occ, train)
+            else:
+                k3, s3, p3 = sp._as3(k), sp._as3(s), sp._as3(p)
+                occ = _cover_mask(occ, k3, s3, p3)
+                xd = DCB(ch, kernel=k3, stride=s3, padding=p3)(xd, occ,
+                                                               train)
+                for _ in range(n_subm):
+                    xd = DCB(ch)(xd, occ, train)
 
-        co2, didx, dmask, sidx, smask, shape2, lk2 = _stage_rulebooks(
-            co1, shape1, 3, 2, 1, caps[1], lk1)
-        valid2 = co2[:, :, 0] >= 0
-        x = SCB(64)(x, didx, dmask, valid2, train)
-        x = SCB(64)(x, sidx, smask, valid2, train, z_taps=sp.center_column_taps(3))
-        x = SCB(64)(x, sidx, smask, valid2, train, z_taps=sp.center_column_taps(3))
-        x = SCB(64)(x, sidx, smask, valid2, train, z_taps=sp.center_column_taps(3))
-
-        if self.dense_tail:
-            # res3 on: dense conv3d with active-site masking (see the
-            # dense-tail note above) — no res3 rulebook, no stage-4
-            # position sort, no final to_dense scatter
-            co3, didx, dmask, _, _, shape3, _ = _stage_rulebooks(
-                co2, shape2, 3, 2, (0, 1, 1), caps[2], lk2,
-                build_subm=False)
-            valid3 = co3[:, :, 0] >= 0
-            x = SCB(64)(x, didx, dmask, valid3, train)
-            occ3 = _occupancy(co3, shape3)
-            xd = sp.to_dense(x, co3, shape3)
-            for _ in range(3):
-                xd = DenseConvBN(64, norm_cfg=cfg, axis_name=ax,
-                                 use_norm=self.use_norm)(xd, occ3, train)
-            occ4 = _cover_mask(occ3, (3, 1, 1), (2, 1, 1), (0, 0, 0))
-            xd = DenseConvBN(64, kernel=(3, 1, 1), stride=(2, 1, 1),
-                             padding=(0, 0, 0), norm_cfg=cfg, axis_name=ax,
-                             use_norm=self.use_norm)(xd, occ4, train)
+        if xd is not None:
+            occ4 = _cover_mask(occ, (3, 1, 1), (2, 1, 1), (0, 0, 0))
+            xd = DCB(64, kernel=(3, 1, 1), stride=(2, 1, 1),
+                     padding=(0, 0, 0))(xd, occ4, train)
             return _fold_depth(xd)
 
-        co3, didx, dmask, sidx, smask, shape3, lk3 = _stage_rulebooks(
-            co2, shape2, 3, 2, (0, 1, 1), caps[2], lk2)
-        valid3 = co3[:, :, 0] >= 0
-        x = SCB(64)(x, didx, dmask, valid3, train)
-        x = SCB(64)(x, sidx, smask, valid3, train, z_taps=sp.center_column_taps(3))
-        x = SCB(64)(x, sidx, smask, valid3, train, z_taps=sp.center_column_taps(3))
-        x = SCB(64)(x, sidx, smask, valid3, train, z_taps=sp.center_column_taps(3))
-
         co4, didx, dmask, _, _, shape4, _ = _stage_rulebooks(
-            co3, shape3, (3, 1, 1), (2, 1, 1), 0, caps[3], lk3,
+            co, shape, (3, 1, 1), (2, 1, 1), 0, caps[3], lk,
             build_subm=False)
         valid4 = co4[:, :, 0] >= 0
         x = SCB(64)(x, didx, dmask, valid4, train)
@@ -379,13 +384,18 @@ class SpMiddleFHD(nn.Module):
 
 @BACKBONES.register_module
 class SpMiddleResNetFHD(nn.Module):
-    """CBGS residual sparse middle. Parity: reference scn.py:308-370."""
+    """CBGS residual sparse middle. Parity: reference scn.py:308-370.
+
+    ``dense_from``/``dense_tail``/``stage_caps``: see SpMiddleFHD. At the
+    CBGS operating point (60k voxels on a 1024x1024x40 grid) the res2 grid
+    is ~8% occupied, so nusc serving configs set dense_from=2."""
     num_input_features: int = 128
     norm_cfg: Optional[dict] = None
     axis_name: Optional[str] = None
     ds_factor: int = 8            # informational (config_tool downsample)
     stage_caps: Sequence[float] = (1.0, 1.0, 1.0, 1.0)   # see SpMiddleFHD
     dense_tail: bool = True                              # see SpMiddleFHD
+    dense_from: int = 3
     name_str: str = "SpMiddleResNetFHD"
 
     @nn.compact
@@ -396,54 +406,57 @@ class SpMiddleResNetFHD(nn.Module):
         cfg, ax = self.norm_cfg, self.axis_name
         v = coords.shape[1]
         caps = [max(64, int(v * f)) for f in self.stage_caps]
+        start = max(1, self.dense_from) if self.dense_tail else 4
 
         order0, coords, lookup0 = sp.stage_lookup_batch(coords, shape0)
         x = jnp.take_along_axis(voxel_features, order0[..., None], axis=1)
-        sidx0, smask0 = sp.subm_window_rulebook_batch(coords, shape0, 3, lookup0)
+        sidx0, smask0 = sp.subm_window_rulebook_batch(coords, shape0, 3,
+                                                      lookup0)
         valid0 = coords[:, :, 0] >= 0
-        x = SparseConvBN(16, cfg, ax)(x, sidx0, smask0, valid0, train, z_taps=sp.center_column_taps(3))
+        x = SparseConvBN(16, cfg, ax)(x, sidx0, smask0, valid0, train,
+                                      z_taps=sp.center_column_taps(3))
         x = SparseBasicBlock(16, cfg, ax)(x, sidx0, smask0, valid0, train)
         x = SparseBasicBlock(16, cfg, ax)(x, sidx0, smask0, valid0, train)
 
-        co1, didx, dmask, sidx, smask, shape1, lk1 = _stage_rulebooks(
-            coords, shape0, 3, 2, 1, caps[0], lookup0)
-        valid1 = co1[:, :, 0] >= 0
-        x = SparseConvBN(32, cfg, ax)(x, didx, dmask, valid1, train)
-        x = SparseBasicBlock(32, cfg, ax)(x, sidx, smask, valid1, train)
-        x = SparseBasicBlock(32, cfg, ax)(x, sidx, smask, valid1, train)
+        specs = [(32, 3, 2, 1), (64, 3, 2, 1), (128, 3, 2, (0, 1, 1))]
+        co, shape, lk = coords, shape0, lookup0
+        xd = occ = None
+        for i, (ch, k, s, p) in enumerate(specs, start=1):
+            if i < start:
+                co, didx, dmask, sidx, smask, shape, lk = _stage_rulebooks(
+                    co, shape, k, s, p, caps[i - 1], lk)
+                valid = co[:, :, 0] >= 0
+                x = SparseConvBN(ch, cfg, ax)(x, didx, dmask, valid, train)
+                x = SparseBasicBlock(ch, cfg, ax)(x, sidx, smask, valid,
+                                                  train)
+                x = SparseBasicBlock(ch, cfg, ax)(x, sidx, smask, valid,
+                                                  train)
+            elif i == start:
+                co, didx, dmask, _, _, shape, _ = _stage_rulebooks(
+                    co, shape, k, s, p, caps[i - 1], lk, build_subm=False)
+                valid = co[:, :, 0] >= 0
+                x = SparseConvBN(ch, cfg, ax)(x, didx, dmask, valid, train)
+                occ = _occupancy(co, shape)
+                xd = sp.to_dense(x, co, shape)
+                xd = DenseBasicBlock(ch, cfg, ax)(xd, occ, train)
+                xd = DenseBasicBlock(ch, cfg, ax)(xd, occ, train)
+            else:
+                k3, s3, p3 = sp._as3(k), sp._as3(s), sp._as3(p)
+                occ = _cover_mask(occ, k3, s3, p3)
+                xd = DenseConvBN(ch, kernel=k3, stride=s3, padding=p3,
+                                 norm_cfg=cfg, axis_name=ax)(xd, occ, train)
+                xd = DenseBasicBlock(ch, cfg, ax)(xd, occ, train)
+                xd = DenseBasicBlock(ch, cfg, ax)(xd, occ, train)
 
-        co2, didx, dmask, sidx, smask, shape2, lk2 = _stage_rulebooks(
-            co1, shape1, 3, 2, 1, caps[1], lk1)
-        valid2 = co2[:, :, 0] >= 0
-        x = SparseConvBN(64, cfg, ax)(x, didx, dmask, valid2, train)
-        x = SparseBasicBlock(64, cfg, ax)(x, sidx, smask, valid2, train)
-        x = SparseBasicBlock(64, cfg, ax)(x, sidx, smask, valid2, train)
-
-        if self.dense_tail:
-            co3, didx, dmask, _, _, shape3, _ = _stage_rulebooks(
-                co2, shape2, 3, 2, (0, 1, 1), caps[2], lk2,
-                build_subm=False)
-            valid3 = co3[:, :, 0] >= 0
-            x = SparseConvBN(128, cfg, ax)(x, didx, dmask, valid3, train)
-            occ3 = _occupancy(co3, shape3)
-            xd = sp.to_dense(x, co3, shape3)
-            xd = DenseBasicBlock(128, cfg, ax)(xd, occ3, train)
-            xd = DenseBasicBlock(128, cfg, ax)(xd, occ3, train)
-            occ4 = _cover_mask(occ3, (3, 1, 1), (2, 1, 1), (0, 0, 0))
+        if xd is not None:
+            occ4 = _cover_mask(occ, (3, 1, 1), (2, 1, 1), (0, 0, 0))
             xd = DenseConvBN(128, kernel=(3, 1, 1), stride=(2, 1, 1),
                              padding=(0, 0, 0), norm_cfg=cfg,
                              axis_name=ax)(xd, occ4, train)
             return _fold_depth(xd)
 
-        co3, didx, dmask, sidx, smask, shape3, lk3 = _stage_rulebooks(
-            co2, shape2, 3, 2, (0, 1, 1), caps[2], lk2)
-        valid3 = co3[:, :, 0] >= 0
-        x = SparseConvBN(128, cfg, ax)(x, didx, dmask, valid3, train)
-        x = SparseBasicBlock(128, cfg, ax)(x, sidx, smask, valid3, train)
-        x = SparseBasicBlock(128, cfg, ax)(x, sidx, smask, valid3, train)
-
         co4, didx, dmask, _, _, shape4, _ = _stage_rulebooks(
-            co3, shape3, (3, 1, 1), (2, 1, 1), 0, caps[3], lk3,
+            co, shape, (3, 1, 1), (2, 1, 1), 0, caps[3], lk,
             build_subm=False)
         valid4 = co4[:, :, 0] >= 0
         x = SparseConvBN(128, cfg, ax)(x, didx, dmask, valid4, train)

@@ -40,7 +40,11 @@ class VoxelFeatureExtractorV3(nn.Module):
 
     @nn.compact
     def __call__(self, voxels, num_points, coors=None, train: bool = False):
-        # voxels: (B, V, T, C); num_points: (B, V)
+        # voxels: (B, V, T, C); num_points: (B, V). A 3-D input is the
+        # fused voxelize_mean path (core/voxelize.py): means already
+        # computed during voxelization, nothing left to do here.
+        if voxels.ndim == 3:
+            return voxels
         denom = jnp.maximum(num_points, 1).astype(voxels.dtype)[..., None]
         mask = paddings_indicator(num_points, voxels.shape[2])
         pts = voxels * mask[..., None].astype(voxels.dtype)

@@ -27,6 +27,7 @@ All shapes static; everything composes under jit/vmap/grad.
 
 from __future__ import annotations
 
+from functools import partial
 from typing import Tuple
 
 import numpy as np
@@ -348,7 +349,7 @@ def apply_conv(features, idx, mask, weights, z_shift_taps=None):
     """
     if mask.ndim == 4:
         return apply_conv_window(features, idx, mask, weights,
-                                 center_shift=z_shift_taps is not None)
+                                 z_shift_taps is not None)
     kvol = weights.shape[0]
     shifts = {}
     if z_shift_taps is not None:
@@ -704,12 +705,12 @@ def conv_window_rulebook_batch(in_shape, out_coords, kernel, stride,
     return jax.vmap(one)(*lookup_struct[1], out_coords)
 
 
-def _window_column(features, r0, pres, w_col):
-    """One BEV column's contribution for one sample.
+def _window_taps(features, r0, pres):
+    """Select one BEV column's kz masked tap features for one sample.
 
     features: (Vpad, C) zero-padded with kz-1 extra rows; r0: (O,);
-    pres: (O, kz); w_col: (kz, Cin, Cout). One (kz, C) slice-gather at r0,
-    then a where-ladder routes window row popcount([z0, z0+j)) to tap j."""
+    pres: (O, kz). One (kz, C) slice-gather at r0, then a where-ladder
+    routes window row popcount([z0, z0+j)) to tap j. Returns kz (O, C)."""
     kz = pres.shape[-1]
     g = jax.lax.gather(
         features, r0[:, None],
@@ -719,49 +720,69 @@ def _window_column(features, r0, pres, w_col):
         slice_sizes=(kz, features.shape[-1]),
         mode=jax.lax.GatherScatterMode.CLIP)                # (O, kz, C)
     dt = features.dtype
-    out = None
+    taps = []
     off = jnp.zeros(r0.shape, jnp.int32)                    # popcount so far
     for j in range(kz):
         sel = g[:, 0]
         for m in range(1, j + 1):
             sel = jnp.where((off == m)[:, None], g[:, m], sel)
-        tap = sel * pres[:, j, None].astype(dt)
+        taps.append(sel * pres[:, j, None].astype(dt))
+        off = off + pres[:, j].astype(jnp.int32)
+    return taps
+
+
+def _window_column(features, r0, pres, w_col):
+    """One BEV column's output contribution for one sample."""
+    out = None
+    for j, tap in enumerate(_window_taps(features, r0, pres)):
         y = jnp.einsum("oc,cd->od", tap, w_col[j],
                        preferred_element_type=jnp.float32)
         out = y if out is None else out + y
-        off = off + pres[:, j].astype(jnp.int32)
     return out
 
 
-def apply_conv_window(features, r0, pres, weights, center_shift=False):
-    """Sparse conv over a window rulebook (see the section note above).
+def _center_taps(features, pres_cc):
+    """The center BEV column's kz=3 masked taps via rank shifts (subm
+    rulebooks only: rows rank-aligned with outputs) — zero descriptors."""
+    taps = []
+    for j, d in enumerate((-1, 0, +1)):
+        if d == 0:
+            g = features
+        elif d == -1:
+            g = jnp.pad(features, ((0, 0), (1, 0), (0, 0)))[:, :-1]
+        else:
+            g = jnp.pad(features, ((0, 0), (0, 1), (0, 0)))[:, 1:]
+        taps.append(g * pres_cc[..., j, None].astype(features.dtype))
+    return taps
 
-    features: (B, V, Cin); r0: (B, O, Kbev); pres: (B, O, Kbev, kz);
-    weights: (kz*Kbev, Cin, Cout) in z-major tap order (checkpoint-
-    compatible with the flat formats). ``center_shift``: submanifold
-    rulebooks (O == V, rows rank-aligned) handle the center BEV column by
-    rank shifts — zero gather descriptors for those kz taps."""
+
+def _split_cols(r0, pres, weights, center_shift):
+    """Shared fwd/bwd plumbing: per-column weights, scan operands, and the
+    (kz-1)-zero-row pad amount for in-bounds clamped windows."""
     b, o, kbev = r0.shape
     kz = pres.shape[-1]
     cin, cout = weights.shape[-2:]
     w_cols = weights.reshape(kz, kbev, cin, cout).transpose(1, 0, 2, 3)
+    cols = list(range(kbev))
+    cc = kbev // 2
+    if center_shift:
+        assert kz == 3, "center_shift needs a kz=3 submanifold rulebook"
+        cols.remove(cc)
+    cols = np.asarray(cols, np.int32)
+    return w_cols, cols, cc
+
+
+def _window_conv_impl(features, r0, pres, weights, center_shift):
+    b, o, _ = r0.shape
+    kz = pres.shape[-1]
+    cout = weights.shape[-1]
+    w_cols, cols, cc = _split_cols(r0, pres, weights, center_shift)
 
     out = None
-    cols = list(range(kbev))
     if center_shift:
-        assert kz == 3 and o == features.shape[1], \
-            "center_shift needs a kz=3 submanifold rulebook"
-        cc = kbev // 2                                      # center column
-        cols.remove(cc)
-        for j, d in enumerate((-1, 0, +1)):
-            if d == 0:
-                g = features
-            elif d == -1:
-                g = jnp.pad(features, ((0, 0), (1, 0), (0, 0)))[:, :-1]
-            else:
-                g = jnp.pad(features, ((0, 0), (0, 1), (0, 0)))[:, 1:]
-            g = g * pres[:, :, cc, j, None].astype(features.dtype)
-            y = jnp.einsum("boc,cd->bod", g, w_cols[cc, j],
+        assert o == features.shape[1]
+        for j, tap in enumerate(_center_taps(features, pres[:, :, cc])):
+            y = jnp.einsum("boc,cd->bod", tap, w_cols[cc, j],
                            preferred_element_type=jnp.float32)
             out = y if out is None else out + y
 
@@ -770,7 +791,6 @@ def apply_conv_window(features, r0, pres, weights, center_shift=False):
     fpad = jnp.pad(features, ((0, 0), (0, kz - 1), (0, 0)))
     r0c = jnp.minimum(r0, features.shape[1] - 1)
 
-    cols = np.asarray(cols, np.int32)
     r_s = r0c[:, :, cols].transpose(2, 0, 1)                # (Kc, B, O)
     p_s = pres[:, :, cols].transpose(2, 0, 1, 3)            # (Kc, B, O, kz)
     w_s = w_cols[cols]                                      # (Kc, kz, ...)
@@ -784,6 +804,106 @@ def apply_conv_window(features, r0, pres, weights, center_shift=False):
     init = (jnp.zeros((b, o, cout), jnp.float32) if out is None else out)
     out, _ = jax.lax.scan(body, init, (r_s, p_s, w_s))
     return out
+
+
+def _window_conv_dw(features, r0, pres, dy, center_shift):
+    """d(weights) for the window conv: re-select taps (cheap gathers),
+    contract each against dy. Returns (K, Cin, Cout), z-major."""
+    kz = pres.shape[-1]
+    kbev = r0.shape[-1]
+    cin, cout = features.shape[-1], dy.shape[-1]
+    cc = kbev // 2
+    cols = [c for c in range(kbev) if not (center_shift and c == cc)]
+    cols = np.asarray(cols, np.int32)
+    fpad = jnp.pad(features, ((0, 0), (0, kz - 1), (0, 0)))
+    r0c = jnp.minimum(r0, features.shape[1] - 1)
+    r_s = r0c[:, :, cols].transpose(2, 0, 1)
+    p_s = pres[:, :, cols].transpose(2, 0, 1, 3)
+
+    def one_col(rk, pk):
+        taps = jax.vmap(_window_taps, in_axes=(0, 0, 0))(fpad, rk, pk)
+        return jnp.stack([
+            jnp.einsum("boc,bod->cd", t, dy,
+                       preferred_element_type=jnp.float32) for t in taps])
+
+    def body(carry, args):
+        return carry, one_col(*args)
+
+    _, dw_cols = jax.lax.scan(body, 0, (r_s, p_s))          # (Kc, kz, ...)
+
+    dw = jnp.zeros((kbev, kz, cin, cout), jnp.float32)
+    dw = dw.at[cols].set(dw_cols)
+    if center_shift:
+        taps = _center_taps(features, pres[:, :, cc])
+        dw = dw.at[cc].set(jnp.stack([
+            jnp.einsum("boc,bod->cd", t, dy,
+                       preferred_element_type=jnp.float32) for t in taps]))
+    return dw.transpose(1, 0, 2, 3).reshape(kz * kbev, cin, cout)
+
+
+def window_to_flat(r0, pres):
+    """Window rulebook -> flat per-tap (idx, mask) in z-major tap order.
+
+    rank(z0+j) = r0 + popcount(pres[..., :j]); absent taps get a clamped
+    garbage index that their False mask suppresses."""
+    p = pres.astype(jnp.int32)
+    off = jnp.cumsum(p, axis=-1) - p                        # exclusive
+    idx = r0[..., None] + off                               # (B, O, Kbev, kz)
+    b, o = r0.shape[:2]
+    return (idx.transpose(0, 1, 3, 2).reshape(b, o, -1),
+            pres.transpose(0, 1, 3, 2).reshape(b, o, -1))
+
+
+@partial(jax.custom_vjp, nondiff_argnums=(4,))
+def apply_conv_window(features, r0, pres, weights, center_shift=False):
+    """Sparse conv over a window rulebook (see the section note above).
+
+    features: (B, V, Cin); r0: (B, O, Kbev); pres: (B, O, Kbev, kz);
+    weights: (kz*Kbev, Cin, Cout) in z-major tap order (checkpoint-
+    compatible with the flat formats). ``center_shift``: submanifold
+    rulebooks (O == V, rows rank-aligned) handle the center BEV column by
+    rank shifts — zero gather descriptors for those kz taps.
+
+    Custom VJP: the autodiff transpose of the (kz, C) slice-gather is a
+    slice-scatter-add, which lowers catastrophically on TPU (measured 36x
+    train-step regression). Instead:
+      * submanifold convs (center_shift=True) use the rulebook's
+        self-transpose property — tap k's adjoint is tap K-1-k of the SAME
+        rulebook — so d(features) is just the window conv of dy with
+        reversed, transposed weights: scatter-free, as fast as forward;
+      * strided convs fall back to the flat per-tap backward (row-index
+        scatter-adds, the round-2 formulation).
+    d(weights) re-selects taps with the cheap window gathers either way.
+    """
+    return _window_conv_impl(features, r0, pres, weights, center_shift)
+
+
+def _acw_fwd(features, r0, pres, weights, center_shift):
+    out = _window_conv_impl(features, r0, pres, weights, center_shift)
+    return out, (features, r0, pres, weights)
+
+
+def _acw_bwd(center_shift, res, dy):
+    features, r0, pres, weights = res
+    if center_shift:
+        # subm rulebooks are symmetric: idx[o, k] == i  <=>
+        # idx[i, K-1-k] == o with equal masks, so df is a window conv of
+        # dy with W'_k = W[K-1-k]^T (the reversed array maps the center
+        # column onto itself: kbev-1-cc == cc for odd kernels)
+        wrev = weights[::-1].transpose(0, 2, 1)
+        df = _window_conv_impl(dy, r0, pres, wrev, True)
+        dw = _window_conv_dw(features, r0, pres, dy, True)
+    else:
+        idx, mask = window_to_flat(r0, pres)
+        _, vjp = jax.vjp(lambda f: apply_conv(f, idx, mask, weights), features)
+        (df,) = vjp(dy)
+        dw = _window_conv_dw(features, r0, pres, dy, False)
+    z_i = np.zeros(r0.shape, jax.dtypes.float0)
+    z_p = np.zeros(pres.shape, jax.dtypes.float0)
+    return df.astype(features.dtype), z_i, z_p, dw
+
+
+apply_conv_window.defvjp(_acw_fwd, _acw_bwd)
 
 
 def stage_lookup_batch(coords, shape):

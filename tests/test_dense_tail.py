@@ -120,3 +120,45 @@ def test_dense_tail_gradients_finite(rng):
     g = jax.grad(loss)(variables["params"])
     assert all(np.isfinite(np.asarray(x)).all()
                for x in jax.tree_util.tree_leaves(g))
+
+
+def test_resnet_dense_from2_equivalence(rng):
+    """dense_from=2 (res2 onward dense — the CBGS serving point) must
+    match the pure sparse path like dense_from=3 does."""
+    coords = _coords(rng)
+    feats = jnp.asarray(rng.randn(1, 64, 4).astype(np.float32))
+
+    m_sparse = SpMiddleResNetFHD(num_input_features=4, dense_tail=False)
+    m_d2 = SpMiddleResNetFHD(num_input_features=4, dense_from=2)
+    vs = m_sparse.init(jax.random.PRNGKey(0), feats, coords, GRID,
+                       train=False)
+    vd = m_d2.init(jax.random.PRNGKey(0), feats, coords, GRID, train=False)
+    params = _map_params(vs["params"], vd["params"])
+
+    out_s = m_sparse.apply(vs, feats, coords, GRID, train=False)
+    out_d = m_d2.apply({"params": params,
+                        "batch_stats": vd["batch_stats"]},
+                       feats, coords, GRID, train=False)
+    assert out_s.shape == out_d.shape
+    np.testing.assert_allclose(np.asarray(out_d), np.asarray(out_s),
+                               rtol=1e-4, atol=1e-5)
+
+
+def test_fhd_dense_from2_equivalence(rng):
+    coords = _coords(rng)
+    feats = jnp.asarray(rng.randn(1, 64, 4).astype(np.float32))
+
+    m_sparse = SpMiddleFHD(num_input_features=4, dense_tail=False)
+    m_d2 = SpMiddleFHD(num_input_features=4, dense_from=2)
+    vs = m_sparse.init(jax.random.PRNGKey(0), feats, coords, GRID,
+                       train=False)
+    vd = m_d2.init(jax.random.PRNGKey(0), feats, coords, GRID, train=False)
+    params = _map_params(vs["params"], vd["params"])
+
+    out_s = m_sparse.apply(vs, feats, coords, GRID, train=False)
+    out_d = m_d2.apply({"params": params,
+                        "batch_stats": vd["batch_stats"]},
+                       feats, coords, GRID, train=False)
+    assert out_s.shape == out_d.shape
+    np.testing.assert_allclose(np.asarray(out_d), np.asarray(out_s),
+                               rtol=1e-4, atol=1e-5)

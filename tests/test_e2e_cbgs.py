@@ -21,9 +21,13 @@ VOXEL_SIZE = (0.2, 0.2, 0.1)                     # grid (128, 128, 40)
 
 @pytest.mark.slow
 def test_cbgs_stack_trains_and_detects(rng):
+    # fuse_mean: the fused voxelize+mean-VFE path build_stack enables for
+    # every VFEV3 config (core/voxelize.py::voxelize_mean) — exercised
+    # end-to-end here
     voxel_gen = VoxelGenerator(voxel_size=VOXEL_SIZE,
                                point_cloud_range=PC_RANGE,
-                               max_num_points=5, max_voxels=1024)
+                               max_num_points=5, max_voxels=1024,
+                               fuse_mean=True)
     grid = voxel_gen.grid_size
     tasks = [dict(num_class=1, class_names=["car"]),
              dict(num_class=1, class_names=["pedestrian"])]

@@ -327,3 +327,26 @@ def test_window_conv_grad_flows(rng):
                                rtol=2e-4, atol=2e-4)
     np.testing.assert_allclose(np.asarray(gw_w), np.asarray(gw_f),
                                rtol=2e-4, atol=2e-4)
+
+
+def test_window_strided_grad_matches_flat(rng):
+    """Strided window convs use the flat fallback backward — check it."""
+    feats, coords, lookup = _ranked(rng, 1, 30, 48, 4, SHAPE)
+    w = jnp.asarray(rng.randn(27, 4, 4).astype(np.float32))
+    out_co, _ = jax.vmap(
+        lambda co: sp.conv_out_coords(co, SHAPE, 3, 2, 1, 128))(coords)
+    r0, pres = sp.conv_window_rulebook_batch(SHAPE, out_co, 3, 2, 1, lookup)
+    fidx, fmask = sp.conv_rulebook_batch(SHAPE, out_co, 3, 2, 1, lookup)
+
+    def loss_win(f, ww):
+        return (sp.apply_conv(f, r0, pres, ww) ** 2).sum()
+
+    def loss_flat(f, ww):
+        return (sp.apply_conv(f, fidx, fmask, ww) ** 2).sum()
+
+    gf_w, gw_w = jax.grad(loss_win, argnums=(0, 1))(feats, w)
+    gf_f, gw_f = jax.grad(loss_flat, argnums=(0, 1))(feats, w)
+    np.testing.assert_allclose(np.asarray(gf_w), np.asarray(gf_f),
+                               rtol=2e-4, atol=2e-4)
+    np.testing.assert_allclose(np.asarray(gw_w), np.asarray(gw_f),
+                               rtol=2e-4, atol=2e-4)

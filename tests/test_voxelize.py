@@ -188,3 +188,59 @@ def test_voxelize_hashed_overflow_is_spatially_fair(rng):
     assert kept[:, 1].min() < 10 and kept[:, 1].max() >= 30
     quad = (kept[:, 2] >= 20).astype(int) * 2 + (kept[:, 1] >= 20).astype(int)
     assert len(set(quad.tolist())) == 4
+
+
+def test_voxelize_mean_matches_buffer_mean(rng):
+    """Fused voxelize_mean == voxelize(order=hashed) + masked buffer mean,
+    voxel-for-voxel (same hashed ordering), incl. max_points cap and
+    overflow."""
+    import jax.numpy as jnp
+
+    pts = rng.uniform(-2, 10, (600, 5)).astype(np.float32)
+    n = np.int32(550)                                   # trailing padding
+    common = dict(voxel_size=(0.5, 0.5, 0.5),
+                  point_cloud_range=(0, 0, 0, 8, 8, 4),
+                  max_num_points=3, max_voxels=128)
+
+    vg_buf = VoxelGenerator(order="hashed", **common)
+    vg_fused = VoxelGenerator(fuse_mean=True, **common)
+    a = vg_buf.generate(jnp.asarray(pts), n)
+    b = vg_fused.generate(jnp.asarray(pts), n)
+
+    np.testing.assert_array_equal(np.asarray(a["coords"]),
+                                  np.asarray(b["coords"]))
+    np.testing.assert_array_equal(np.asarray(a["num_points_per_voxel"]),
+                                  np.asarray(b["num_points_per_voxel"]))
+    assert int(a["num_voxels"]) == int(b["num_voxels"])
+
+    buf = np.asarray(a["voxels"])                        # (V, T, C)
+    cnt = np.asarray(a["num_points_per_voxel"])
+    tmask = np.arange(buf.shape[1])[None, :] < cnt[:, None]
+    ref_mean = (buf * tmask[..., None]).sum(1) / np.maximum(cnt, 1)[:, None]
+    np.testing.assert_allclose(np.asarray(b["voxels"]), ref_mean,
+                               rtol=1e-5, atol=1e-5)
+    assert b["voxels"].ndim == 2
+
+    # batched map path
+    bb = vg_fused.generate_batch(jnp.asarray(pts[None]),
+                                 jnp.asarray([n]))
+    np.testing.assert_allclose(np.asarray(bb["voxels"][0]),
+                               np.asarray(b["voxels"]), rtol=1e-6)
+
+
+def test_voxelize_mean_overflow(rng):
+    """Voxel overflow: fused path keeps the same uniform hashed subset."""
+    import jax.numpy as jnp
+
+    pts = rng.uniform(0, 8, (2000, 4)).astype(np.float32)
+    common = dict(voxel_size=(0.25, 0.25, 0.25),
+                  point_cloud_range=(0, 0, 0, 8, 8, 4),
+                  max_num_points=2, max_voxels=64)
+    a = VoxelGenerator(order="hashed", **common).generate(
+        jnp.asarray(pts), np.int32(2000))
+    b = VoxelGenerator(fuse_mean=True, **common).generate(
+        jnp.asarray(pts), np.int32(2000))
+    np.testing.assert_array_equal(np.asarray(a["coords"]),
+                                  np.asarray(b["coords"]))
+    np.testing.assert_array_equal(np.asarray(a["num_points_per_voxel"]),
+                                  np.asarray(b["num_points_per_voxel"]))
