@@ -1,34 +1,55 @@
-"""Headline benchmark: PointPillars KITTI-car end-to-end inference, one chip.
+"""Driver benchmark: all three serving workloads on one chip, one JSON
+line each — flagship LAST (the driver parses the final line; the tail
+keeps the rest).
 
-Measures scans/sec for the FULL per-scan pipeline on device — voxelization,
-pillar encoder, RPN, head, box decode, rotated NMS (fused Pallas kernel) —
-matching what the reference times in tools/dist_test.py:179-217 ("Total time
-per frame"), except the reference voxelizes on CPU outside the timed region
-and we run it on-chip inside it.
+  1. second_kitti_predict   — SECOND (sparse middle) predict ms/scan @ B=2
+  2. cbgs_nusc_predict      — CBGS nuScenes predict ms/scan @ B=2
+                              (60k voxels, 10 classes, 6 heads, dense_from=2)
+  3. pointpillars_kitti_e2e_inference — scans/s @ B=8 (headline)
 
-Input: structured synthetic scans (ring/azimuth geometry + ground plane +
-object clusters, tools/make_synthetic_kitti.py's generator) at the serving
-operating point B=8 — uniform noise under-states voxel clustering and NMS
-load, and B=1 under-states chip utilization (see docs/DESIGN_NOTES.md §6).
+Each measures the FULL per-scan pipeline on device — voxelization,
+network, box decode, rotated NMS — matching what the reference times in
+tools/dist_test.py:179-217 ("Total time per frame"), except the reference
+voxelizes on CPU outside the timed region and we run it on-chip inside it.
 
-Baseline: the reference publishes no latency numbers. We use 60 scans/s as
-the assumed PyTorch-Det3D-on-A100 single-GPU figure (original PointPillars
-paper reports 62 Hz on a 1080ti for the same 0.16m config; the Det3D stack
-adds CPU voxelization + python overhead, A100 buys it back). vs_baseline is
-measured / (2 * 60) against the BASELINE.json target of >=2x A100.
+Inputs: structured synthetic scans (ring/azimuth geometry + ground plane +
+object clusters; uniform noise under-states voxel clustering and NMS load).
 
-Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+Baselines (the reference publishes no latency numbers; assumptions stated):
+  * pillars: 60 scans/s assumed PyTorch-Det3D-on-A100 (PointPillars paper
+    reports 62 Hz on a 1080ti for the same 0.16m config; Det3D's CPU
+    voxelize + python overhead vs A100 roughly cancel). vs_baseline =
+    measured / (2 * 60) against the >=2x-A100 target.
+  * SECOND KITTI: 30 scans/s assumed A100 (SECOND paper: ~25 fps on a
+    1080Ti for the 0.05m config; spconv2+A100 buys ~20%).
+  * CBGS nuScenes: 15 scans/s assumed A100 (10-sweep 300k-point clouds,
+    60k voxels, 6 task heads — the production-heavy config).
+
+A persistent XLA compilation cache (.jax_bench_cache/, gitignored) makes
+repeat runs compile-free. Sparse sections respect a wall-clock budget
+(BENCH_BUDGET_S, default 2400 s) and are individually fault-isolated; the
+flagship line always prints, and always prints last.
 """
 
 import json
+import os
 import time
 
 
 BATCH = 8
 POINTS = 16384
+BUDGET_S = float(os.environ.get("BENCH_BUDGET_S", "2400"))
+_T0 = time.time()
 
 
-def main():
+def _slope(run, k_lo=10, k_hi=50):
+    """Two-point fit removes the fixed dispatch+readback RTT of the axon
+    tunnel (block_until_ready does not actually block there)."""
+    run(5)
+    return (run(k_hi) - run(k_lo)) / (k_hi - k_lo)
+
+
+def bench_flagship():
     import jax
     import jax.numpy as jnp
     from __graft_entry__ import _build_flagship
@@ -62,15 +83,10 @@ def main():
                               FIXED_WD=True), lr_fn, mom_fn)
     state = TrainState.create(variables["params"], variables["batch_stats"],
                               tx)
-
     predict_step = make_predict_step(model, voxel_gen, assigners, class_ids,
                                      test_cfg)
-
-    # warmup / compile (readback forces completion; under the axon relay
-    # block_until_ready returns before the device is done, so all timing
-    # below uses a scalar host readback as the fence)
     out = predict_step(state, batch)
-    float(out["scores"].sum())
+    float(out["scores"].sum())                 # warmup fence (see _slope)
 
     def run(k):
         t0 = time.perf_counter()
@@ -79,19 +95,100 @@ def main():
         float(out["scores"].sum())
         return time.perf_counter() - t0
 
-    # two-point fit removes the fixed dispatch+readback RTT of the tunnel
-    run(5)
-    t_lo, k_lo = run(10), 10
-    t_hi, k_hi = run(50), 50
-    per_step = (t_hi - t_lo) / (k_hi - k_lo)
+    per_step = _slope(run)
     scans_per_sec = BATCH / per_step
-
-    print(json.dumps({
+    return {
         "metric": "pointpillars_kitti_e2e_inference",
         "value": round(scans_per_sec, 2),
         "unit": "scans/sec/chip",
         "vs_baseline": round(scans_per_sec / 120.0, 3),
-    }))
+    }
+
+
+def bench_config(config_path, metric, batch, points, baseline_scans):
+    """Predict ms/scan for a parity config through the public API."""
+    import numpy as np
+    import jax.numpy as jnp
+    from det3d_tpu.apis.train import build_stack
+    from det3d_tpu.parallel.train import (TrainState, build_example,
+                                          make_predict_step)
+    from det3d_tpu.solver import build_optimizer, one_cycle
+    from det3d_tpu.utils.synth import structured_batch
+    import jax
+
+    from det3d_tpu.utils.config import Config
+    cfg = Config.fromfile(config_path)
+    model, voxel_gen, assigners, class_ids, test_cfg = build_stack(cfg)
+    pc_range = tuple(cfg["voxel_generator"]["range"])
+    n_feats = cfg["model"]["reader"].get("num_input_features", 4)
+
+    b = structured_batch(batch, points, pc_range, seed=3)
+    pts = np.asarray(b["points"])[..., :4]
+    if n_feats > 4:
+        pts = np.concatenate(
+            [pts, np.zeros(pts.shape[:-1] + (n_feats - 4,), np.float32)],
+            axis=-1)
+    data = {"points": jnp.asarray(pts),
+            "num_points": jnp.asarray(b["num_points"])}
+
+    example = build_example(data, voxel_gen, [], [], with_targets=False)
+    variables = jax.jit(model.init, static_argnames=("train",))(
+        jax.random.PRNGKey(0), example["voxels"],
+        example["num_points_per_voxel"], example["coordinates"], train=False)
+    lr_fn, mom_fn = one_cycle(1e-3, 10)
+    tx = build_optimizer(dict(TYPE="adam", VALUE=dict(wd=0.01),
+                              FIXED_WD=True), lr_fn, mom_fn)
+    state = TrainState.create(variables["params"], variables["batch_stats"],
+                              tx)
+    predict_step = make_predict_step(model, voxel_gen, assigners, class_ids,
+                                     test_cfg)
+    out = predict_step(state, data)
+    float(out["scores"].sum())
+
+    def run(k):
+        t0 = time.perf_counter()
+        for _ in range(k):
+            out = predict_step(state, data)
+        float(out["scores"].sum())
+        return time.perf_counter() - t0
+
+    per_step = _slope(run, k_lo=5, k_hi=25)
+    ms_per_scan = per_step / batch * 1e3
+    scans_per_sec = batch / per_step
+    return {
+        "metric": metric,
+        "value": round(ms_per_scan, 2),
+        "unit": "ms/scan",
+        "vs_baseline": round(scans_per_sec / (2.0 * baseline_scans), 3),
+    }
+
+
+def main():
+    import jax
+
+    cache = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                         ".jax_bench_cache")
+    jax.config.update("jax_compilation_cache_dir", cache)
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 5.0)
+
+    lines = []
+    for fn, args in (
+            (bench_config, ("configs/kitti_car_second.py",
+                            "second_kitti_predict", 2, POINTS, 30.0)),
+            (bench_config, ("configs/nusc_cbgs_voxelnet.py",
+                            "cbgs_nusc_predict", 2, 120000, 15.0)),
+    ):
+        if time.time() - _T0 > BUDGET_S:
+            print(f"# skipped {args[1]}: over BENCH_BUDGET_S", flush=True)
+            continue
+        try:
+            lines.append(fn(*args))
+            print(json.dumps(lines[-1]), flush=True)
+        except Exception as e:           # never let a sparse section kill
+            print(f"# {args[1]} failed: {type(e).__name__}: {e}",
+                  flush=True)
+
+    print(json.dumps(bench_flagship()), flush=True)
 
 
 if __name__ == "__main__":

@@ -74,6 +74,10 @@ class SparseConvBN(nn.Module):
     The rulebook (idx/mask) is built by the owning backbone once per
     resolution and shared across layers — the TPU analogue of spconv's
     ``indice_key`` (reference scn.py:107-156).
+
+    ``precision="bf16"`` runs the gathers/GEMMs on bf16 activations and
+    weights (halving the gathered row bytes) with fp32 accumulation; BN
+    statistics and parameters stay fp32.
     """
     out_channels: int
     norm_cfg: Optional[dict] = None
@@ -81,10 +85,13 @@ class SparseConvBN(nn.Module):
     use_bias: bool = False
     relu: bool = True
     use_norm: bool = True       # False = the Nobn variants (scn.py:200)
+    precision: str = "fp32"
 
     @nn.compact
     def __call__(self, x, idx, mask, valid, train: bool = False,
                  z_taps=None):
+        from det3d_tpu.models.precision import act_dtype
+
         # window rulebooks (mask 4-D: idx=r0, mask=per-column tap presence)
         # and flat per-tap rulebooks share the (kvol, cin, cout) weight
         # layout; sp.apply_conv dispatches on the format
@@ -95,7 +102,9 @@ class SparseConvBN(nn.Module):
             "kernel",
             nn.initializers.variance_scaling(1.0, "fan_in", "uniform"),
             (kvol, cin, self.out_channels), jnp.float32)
-        y = sp.apply_conv(x, idx, mask, w, z_shift_taps=z_taps)
+        dt = act_dtype(self.precision)
+        y = sp.apply_conv(x.astype(dt), idx, mask, w.astype(dt),
+                          z_shift_taps=z_taps)
         if self.use_bias or not self.use_norm:
             y = y + self.param("bias", nn.initializers.zeros,
                                (self.out_channels,), jnp.float32)
@@ -115,16 +124,18 @@ class SparseBasicBlock(nn.Module):
     channels: int
     norm_cfg: Optional[dict] = None
     axis_name: Optional[str] = None
+    precision: str = "fp32"
 
     @nn.compact
     def __call__(self, x, idx, mask, valid, train: bool = False):
         zt = sp.center_column_taps(3)
         y = SparseConvBN(self.channels, self.norm_cfg, self.axis_name,
-                         use_bias=True)(x, idx, mask, valid, train,
-                                        z_taps=zt)
+                         use_bias=True, precision=self.precision)(
+                             x, idx, mask, valid, train, z_taps=zt)
         y = SparseConvBN(self.channels, self.norm_cfg, self.axis_name,
-                         use_bias=True, relu=False)(y, idx, mask, valid,
-                                                    train, z_taps=zt)
+                         use_bias=True, relu=False,
+                         precision=self.precision)(y, idx, mask, valid,
+                                                   train, z_taps=zt)
         return nn.relu(x + y)
 
 
@@ -234,23 +245,32 @@ class DenseConvBN(nn.Module):
     use_bias: bool = False
     relu: bool = True
     use_norm: bool = True
+    precision: str = "fp32"
 
     @nn.compact
     def __call__(self, x, occ_out, train: bool = False):
+        from det3d_tpu.models.precision import act_dtype
+
         kz, ky, kx = self.kernel
         cin = x.shape[-1]
         w = self.param(
             "kernel",
             nn.initializers.variance_scaling(1.0, "fan_in", "uniform"),
             (kz * ky * kx, cin, self.out_channels), jnp.float32)
+        dt = act_dtype(self.precision)
         # (a per-z-slab conv2d decomposition was tried and measured 2x
         # SLOWER than the straight conv3d at res3 scale — XLA tiles the
         # shallow-D conv3d fine: 2.17 ms for 64ch at (2,5,200,176))
+        # bf16 mode: conv in bf16 (MXU accumulates fp32 internally), then
+        # upcast — preferred_element_type=fp32 here breaks the conv's
+        # transpose rule under grad (fp32 cotangent vs bf16 operand)
         y = jax.lax.conv_general_dilated(
-            x, w.reshape(kz, ky, kx, cin, self.out_channels),
+            x.astype(dt),
+            w.reshape(kz, ky, kx, cin, self.out_channels).astype(dt),
             window_strides=self.stride,
             padding=tuple((p, p) for p in self.padding),
-            dimension_numbers=("NDHWC", "DHWIO", "NDHWC"))
+            dimension_numbers=("NDHWC", "DHWIO", "NDHWC")).astype(
+                jnp.float32)
         if self.use_bias or not self.use_norm:
             y = y + self.param("bias", nn.initializers.zeros,
                                (self.out_channels,), jnp.float32)
@@ -267,15 +287,16 @@ class DenseBasicBlock(nn.Module):
     channels: int
     norm_cfg: Optional[dict] = None
     axis_name: Optional[str] = None
+    precision: str = "fp32"
 
     @nn.compact
     def __call__(self, x, occ, train: bool = False):
         y = DenseConvBN(self.channels, norm_cfg=self.norm_cfg,
-                        axis_name=self.axis_name, use_bias=True)(
-                            x, occ, train)
+                        axis_name=self.axis_name, use_bias=True,
+                        precision=self.precision)(x, occ, train)
         y = DenseConvBN(self.channels, norm_cfg=self.norm_cfg,
                         axis_name=self.axis_name, use_bias=True,
-                        relu=False)(y, occ, train)
+                        relu=False, precision=self.precision)(y, occ, train)
         return nn.relu(x + y) * occ[..., None].astype(x.dtype)
 
 
@@ -309,6 +330,7 @@ class SpMiddleFHD(nn.Module):
     # everywhere).
     dense_tail: bool = True
     dense_from: int = 3
+    precision: str = "fp32"   # "bf16": half-width gathers/GEMMs, fp32 BN
     name_str: str = "SpMiddleFHD"
 
     @nn.compact
@@ -323,11 +345,13 @@ class SpMiddleFHD(nn.Module):
         zt = sp.center_column_taps(3)
 
         def SCB(ch):
-            return SparseConvBN(ch, cfg, ax, use_norm=self.use_norm)
+            return SparseConvBN(ch, cfg, ax, use_norm=self.use_norm,
+                                precision=self.precision)
 
         def DCB(ch, **kw):
             return DenseConvBN(ch, norm_cfg=cfg, axis_name=ax,
-                               use_norm=self.use_norm, **kw)
+                               use_norm=self.use_norm,
+                               precision=self.precision, **kw)
 
         order0, coords, lookup0 = sp.stage_lookup_batch(coords, shape0)
         x = jnp.take_along_axis(voxel_features, order0[..., None], axis=1)
@@ -396,6 +420,7 @@ class SpMiddleResNetFHD(nn.Module):
     stage_caps: Sequence[float] = (1.0, 1.0, 1.0, 1.0)   # see SpMiddleFHD
     dense_tail: bool = True                              # see SpMiddleFHD
     dense_from: int = 3
+    precision: str = "fp32"                              # see SpMiddleFHD
     name_str: str = "SpMiddleResNetFHD"
 
     @nn.compact
@@ -413,10 +438,14 @@ class SpMiddleResNetFHD(nn.Module):
         sidx0, smask0 = sp.subm_window_rulebook_batch(coords, shape0, 3,
                                                       lookup0)
         valid0 = coords[:, :, 0] >= 0
-        x = SparseConvBN(16, cfg, ax)(x, sidx0, smask0, valid0, train,
-                                      z_taps=sp.center_column_taps(3))
-        x = SparseBasicBlock(16, cfg, ax)(x, sidx0, smask0, valid0, train)
-        x = SparseBasicBlock(16, cfg, ax)(x, sidx0, smask0, valid0, train)
+        pr = self.precision
+        x = SparseConvBN(16, cfg, ax, precision=pr)(
+            x, sidx0, smask0, valid0, train,
+            z_taps=sp.center_column_taps(3))
+        x = SparseBasicBlock(16, cfg, ax, precision=pr)(
+            x, sidx0, smask0, valid0, train)
+        x = SparseBasicBlock(16, cfg, ax, precision=pr)(
+            x, sidx0, smask0, valid0, train)
 
         specs = [(32, 3, 2, 1), (64, 3, 2, 1), (128, 3, 2, (0, 1, 1))]
         co, shape, lk = coords, shape0, lookup0
@@ -426,40 +455,48 @@ class SpMiddleResNetFHD(nn.Module):
                 co, didx, dmask, sidx, smask, shape, lk = _stage_rulebooks(
                     co, shape, k, s, p, caps[i - 1], lk)
                 valid = co[:, :, 0] >= 0
-                x = SparseConvBN(ch, cfg, ax)(x, didx, dmask, valid, train)
-                x = SparseBasicBlock(ch, cfg, ax)(x, sidx, smask, valid,
-                                                  train)
-                x = SparseBasicBlock(ch, cfg, ax)(x, sidx, smask, valid,
-                                                  train)
+                x = SparseConvBN(ch, cfg, ax, precision=pr)(
+                    x, didx, dmask, valid, train)
+                x = SparseBasicBlock(ch, cfg, ax, precision=pr)(
+                    x, sidx, smask, valid, train)
+                x = SparseBasicBlock(ch, cfg, ax, precision=pr)(
+                    x, sidx, smask, valid, train)
             elif i == start:
                 co, didx, dmask, _, _, shape, _ = _stage_rulebooks(
                     co, shape, k, s, p, caps[i - 1], lk, build_subm=False)
                 valid = co[:, :, 0] >= 0
-                x = SparseConvBN(ch, cfg, ax)(x, didx, dmask, valid, train)
+                x = SparseConvBN(ch, cfg, ax, precision=pr)(
+                    x, didx, dmask, valid, train)
                 occ = _occupancy(co, shape)
                 xd = sp.to_dense(x, co, shape)
-                xd = DenseBasicBlock(ch, cfg, ax)(xd, occ, train)
-                xd = DenseBasicBlock(ch, cfg, ax)(xd, occ, train)
+                xd = DenseBasicBlock(ch, cfg, ax, precision=pr)(xd, occ,
+                                                                train)
+                xd = DenseBasicBlock(ch, cfg, ax, precision=pr)(xd, occ,
+                                                                train)
             else:
                 k3, s3, p3 = sp._as3(k), sp._as3(s), sp._as3(p)
                 occ = _cover_mask(occ, k3, s3, p3)
                 xd = DenseConvBN(ch, kernel=k3, stride=s3, padding=p3,
-                                 norm_cfg=cfg, axis_name=ax)(xd, occ, train)
-                xd = DenseBasicBlock(ch, cfg, ax)(xd, occ, train)
-                xd = DenseBasicBlock(ch, cfg, ax)(xd, occ, train)
+                                 norm_cfg=cfg, axis_name=ax,
+                                 precision=pr)(xd, occ, train)
+                xd = DenseBasicBlock(ch, cfg, ax, precision=pr)(xd, occ,
+                                                                train)
+                xd = DenseBasicBlock(ch, cfg, ax, precision=pr)(xd, occ,
+                                                                train)
 
         if xd is not None:
             occ4 = _cover_mask(occ, (3, 1, 1), (2, 1, 1), (0, 0, 0))
             xd = DenseConvBN(128, kernel=(3, 1, 1), stride=(2, 1, 1),
                              padding=(0, 0, 0), norm_cfg=cfg,
-                             axis_name=ax)(xd, occ4, train)
+                             axis_name=ax, precision=pr)(xd, occ4, train)
             return _fold_depth(xd)
 
         co4, didx, dmask, _, _, shape4, _ = _stage_rulebooks(
             co, shape, (3, 1, 1), (2, 1, 1), 0, caps[3], lk,
             build_subm=False)
         valid4 = co4[:, :, 0] >= 0
-        x = SparseConvBN(128, cfg, ax)(x, didx, dmask, valid4, train)
+        x = SparseConvBN(128, cfg, ax, precision=pr)(
+            x, didx, dmask, valid4, train)
 
         return _bev_reshape(x, co4, shape4)
 

@@ -900,7 +900,7 @@ def _acw_bwd(center_shift, res, dy):
         dw = _window_conv_dw(features, r0, pres, dy, False)
     z_i = np.zeros(r0.shape, jax.dtypes.float0)
     z_p = np.zeros(pres.shape, jax.dtypes.float0)
-    return df.astype(features.dtype), z_i, z_p, dw
+    return df.astype(features.dtype), z_i, z_p, dw.astype(weights.dtype)
 
 
 apply_conv_window.defvjp(_acw_fwd, _acw_bwd)

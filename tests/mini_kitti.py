@@ -130,12 +130,16 @@ def mini_config(data_root: str, total_epochs=2, samples_per_gpu=2,
                      encode_angle_vector=False)
     model = dict(
         type="PointPillars",
+        # bf16 like the parity configs — the learning gate validates the
+        # adopted mixed-precision training recipe
         reader=dict(type="PillarFeatureNet", num_filters=[32],
+                    precision="bf16",
                     voxel_size=voxel_size, pc_range=pc_range,
                     with_distance=False, num_input_features=4),
         backbone=dict(type="PointPillarsScatter", ds_factor=1,
                       num_input_features=32),
-        neck=dict(type="RPN", layer_nums=[1, 1], ds_layer_strides=[1, 2],
+        neck=dict(type="RPN", precision="bf16",
+                  layer_nums=[1, 1], ds_layer_strides=[1, 2],
                   ds_num_filters=[32, 64], us_layer_strides=[1, 2],
                   us_num_filters=[32, 32], num_input_features=32),
         bbox_head=dict(
