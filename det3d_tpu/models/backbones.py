@@ -89,12 +89,14 @@ class SparseConvBN(nn.Module):
 
     @nn.compact
     def __call__(self, x, idx, mask, valid, train: bool = False,
-                 z_taps=None):
+                 z_taps=None, inverse=None):
         from det3d_tpu.models.precision import act_dtype
 
         # window rulebooks (mask 4-D: idx=r0, mask=per-column tap presence)
         # and flat per-tap rulebooks share the (kvol, cin, cout) weight
-        # layout; sp.apply_conv dispatches on the format
+        # layout; sp.apply_conv dispatches on the format. ``inverse``
+        # (strided convs, train only) switches d(features) to the
+        # gather-based inverse-rulebook backward.
         kvol = (mask.shape[-1] * mask.shape[-2] if mask.ndim == 4
                 else idx.shape[-1])
         cin = x.shape[-1]
@@ -104,7 +106,7 @@ class SparseConvBN(nn.Module):
             (kvol, cin, self.out_channels), jnp.float32)
         dt = act_dtype(self.precision)
         y = sp.apply_conv(x.astype(dt), idx, mask, w.astype(dt),
-                          z_shift_taps=z_taps)
+                          z_shift_taps=z_taps, inverse=inverse)
         if self.use_bias or not self.use_norm:
             y = y + self.param("bias", nn.initializers.zeros,
                                (self.out_channels,), jnp.float32)
@@ -140,7 +142,8 @@ class SparseBasicBlock(nn.Module):
 
 
 def _stage_rulebooks(coords, shape, down_kernel, down_stride, down_pad,
-                     max_out=None, in_lookup=None, build_subm=True):
+                     max_out=None, in_lookup=None, build_subm=True,
+                     build_inverse=False):
     """Downsample coords + the two rulebooks for the next stage.
 
     A sparse stride-2 conv can EXPAND the active set (isolated voxels cover
@@ -159,25 +162,35 @@ def _stage_rulebooks(coords, shape, down_kernel, down_stride, down_pad,
     overflow drop policy), then are re-sorted into the new resolution's
     rank order (sp.stage_lookup_batch) — the bitmap lookup's row contract.
 
+    ``build_inverse`` (train steps) also returns the down conv's inverse
+    rulebook (sp.strided_inverse_rulebook_batch) so its backward runs on
+    output-rank window gathers instead of per-tap scatter-adds.
+
     Returns (new_coords, down_idx, down_mask, subm_idx, subm_mask,
-    new_shape, new_lookup)."""
+    new_shape, new_lookup, down_inverse)."""
     max_out = max_out or coords.shape[1]
 
     oshape = sp.out_spatial_shape(shape, down_kernel, down_stride, down_pad)
     out_co, _ = jax.vmap(
         lambda co: sp.conv_out_coords(co, shape, down_kernel, down_stride,
                                       down_pad, max_out))(coords)
-    if build_subm:
+    if build_subm or build_inverse:
         _, out_co, out_lookup = sp.stage_lookup_batch(out_co, oshape)
+    else:
+        out_lookup = None
+    if build_subm:
         sidx, smask = sp.subm_window_rulebook_batch(out_co, oshape, 3,
                                                     out_lookup)
     else:
-        out_lookup = sidx = smask = None
+        sidx = smask = None
     # after the reorder, so the down-rulebook rows match the new ordering
     didx, dmask = sp.conv_window_rulebook_batch(shape, out_co, down_kernel,
                                                 down_stride, down_pad,
                                                 in_lookup)
-    return out_co, didx, dmask, sidx, smask, oshape, out_lookup
+    dinv = (sp.strided_inverse_rulebook_batch(
+        coords, down_kernel, down_stride, down_pad, out_lookup, oshape)
+        if build_inverse else None)
+    return out_co, didx, dmask, sidx, smask, oshape, out_lookup, dinv
 
 
 def _bev_reshape(features, coords, shape):
@@ -367,18 +380,21 @@ class SpMiddleFHD(nn.Module):
         xd = occ = None
         for i, (ch, n_subm, k, s, p) in enumerate(specs, start=1):
             if i < start:
-                co, didx, dmask, sidx, smask, shape, lk = _stage_rulebooks(
-                    co, shape, k, s, p, caps[i - 1], lk)
+                (co, didx, dmask, sidx, smask, shape, lk,
+                 dinv) = _stage_rulebooks(
+                    co, shape, k, s, p, caps[i - 1], lk,
+                    build_inverse=train)
                 valid = co[:, :, 0] >= 0
-                x = SCB(ch)(x, didx, dmask, valid, train)
+                x = SCB(ch)(x, didx, dmask, valid, train, inverse=dinv)
                 for _ in range(n_subm):
                     x = SCB(ch)(x, sidx, smask, valid, train, z_taps=zt)
             elif i == start:
                 # transition: sparse strided conv, then densify this stage
-                co, didx, dmask, _, _, shape, _ = _stage_rulebooks(
-                    co, shape, k, s, p, caps[i - 1], lk, build_subm=False)
+                co, didx, dmask, _, _, shape, _, dinv = _stage_rulebooks(
+                    co, shape, k, s, p, caps[i - 1], lk, build_subm=False,
+                    build_inverse=train)
                 valid = co[:, :, 0] >= 0
-                x = SCB(ch)(x, didx, dmask, valid, train)
+                x = SCB(ch)(x, didx, dmask, valid, train, inverse=dinv)
                 occ = _occupancy(co, shape)
                 xd = sp.to_dense(x, co, shape)
                 for _ in range(n_subm):
@@ -397,11 +413,11 @@ class SpMiddleFHD(nn.Module):
                      padding=(0, 0, 0))(xd, occ4, train)
             return _fold_depth(xd)
 
-        co4, didx, dmask, _, _, shape4, _ = _stage_rulebooks(
+        co4, didx, dmask, _, _, shape4, _, dinv = _stage_rulebooks(
             co, shape, (3, 1, 1), (2, 1, 1), 0, caps[3], lk,
-            build_subm=False)
+            build_subm=False, build_inverse=train)
         valid4 = co4[:, :, 0] >= 0
-        x = SCB(64)(x, didx, dmask, valid4, train)
+        x = SCB(64)(x, didx, dmask, valid4, train, inverse=dinv)
 
         return _bev_reshape(x, co4, shape4)
 
@@ -452,21 +468,24 @@ class SpMiddleResNetFHD(nn.Module):
         xd = occ = None
         for i, (ch, k, s, p) in enumerate(specs, start=1):
             if i < start:
-                co, didx, dmask, sidx, smask, shape, lk = _stage_rulebooks(
-                    co, shape, k, s, p, caps[i - 1], lk)
+                (co, didx, dmask, sidx, smask, shape, lk,
+                 dinv) = _stage_rulebooks(
+                    co, shape, k, s, p, caps[i - 1], lk,
+                    build_inverse=train)
                 valid = co[:, :, 0] >= 0
                 x = SparseConvBN(ch, cfg, ax, precision=pr)(
-                    x, didx, dmask, valid, train)
+                    x, didx, dmask, valid, train, inverse=dinv)
                 x = SparseBasicBlock(ch, cfg, ax, precision=pr)(
                     x, sidx, smask, valid, train)
                 x = SparseBasicBlock(ch, cfg, ax, precision=pr)(
                     x, sidx, smask, valid, train)
             elif i == start:
-                co, didx, dmask, _, _, shape, _ = _stage_rulebooks(
-                    co, shape, k, s, p, caps[i - 1], lk, build_subm=False)
+                co, didx, dmask, _, _, shape, _, dinv = _stage_rulebooks(
+                    co, shape, k, s, p, caps[i - 1], lk, build_subm=False,
+                    build_inverse=train)
                 valid = co[:, :, 0] >= 0
                 x = SparseConvBN(ch, cfg, ax, precision=pr)(
-                    x, didx, dmask, valid, train)
+                    x, didx, dmask, valid, train, inverse=dinv)
                 occ = _occupancy(co, shape)
                 xd = sp.to_dense(x, co, shape)
                 xd = DenseBasicBlock(ch, cfg, ax, precision=pr)(xd, occ,
@@ -491,12 +510,12 @@ class SpMiddleResNetFHD(nn.Module):
                              axis_name=ax, precision=pr)(xd, occ4, train)
             return _fold_depth(xd)
 
-        co4, didx, dmask, _, _, shape4, _ = _stage_rulebooks(
+        co4, didx, dmask, _, _, shape4, _, dinv = _stage_rulebooks(
             co, shape, (3, 1, 1), (2, 1, 1), 0, caps[3], lk,
-            build_subm=False)
+            build_subm=False, build_inverse=train)
         valid4 = co4[:, :, 0] >= 0
         x = SparseConvBN(128, cfg, ax, precision=pr)(
-            x, didx, dmask, valid4, train)
+            x, didx, dmask, valid4, train, inverse=dinv)
 
         return _bev_reshape(x, co4, shape4)
 
@@ -557,27 +576,30 @@ class RCNNSpMiddleFHD(nn.Module):
         x = SparseConvBN(16, cfg, ax)(x, sidx0, smask0, valid0, train, z_taps=sp.center_column_taps(3))
         x = SparseConvBN(16, cfg, ax)(x, sidx0, smask0, valid0, train, z_taps=sp.center_column_taps(3))
 
-        co1, didx, dmask, sidx, smask, shape1, lk1 = _stage_rulebooks(
-            coords, shape0, 3, 2, 1, caps[0], lookup0)
+        co1, didx, dmask, sidx, smask, shape1, lk1, dinv1 = \
+            _stage_rulebooks(coords, shape0, 3, 2, 1, caps[0], lookup0,
+                             build_inverse=train)
         valid1 = co1[:, :, 0] >= 0
         x = SparseConvBN(32, cfg, ax)(x, didx, dmask, valid1, train)
         x = SparseConvBN(32, cfg, ax)(x, sidx, smask, valid1, train, z_taps=sp.center_column_taps(3))
 
-        co2, didx, dmask, sidx, smask, shape2, lk2 = _stage_rulebooks(
-            co1, shape1, 3, 2, 1, caps[1], lk1)
+        co2, didx, dmask, sidx, smask, shape2, lk2, dinv2 = \
+            _stage_rulebooks(co1, shape1, 3, 2, 1, caps[1], lk1,
+                             build_inverse=train)
         valid2 = co2[:, :, 0] >= 0
         x = SparseConvBN(64, cfg, ax)(x, didx, dmask, valid2, train)
         x = SparseConvBN(64, cfg, ax)(x, sidx, smask, valid2, train, z_taps=sp.center_column_taps(3))
 
-        co3, didx, dmask, sidx, smask, shape3, lk3 = _stage_rulebooks(
-            co2, shape2, 3, 2, (0, 1, 1), caps[2], lk2)
+        co3, didx, dmask, sidx, smask, shape3, lk3, dinv3 = \
+            _stage_rulebooks(co2, shape2, 3, 2, (0, 1, 1), caps[2], lk2,
+                             build_inverse=train)
         valid3 = co3[:, :, 0] >= 0
         x = SparseConvBN(64, cfg, ax)(x, didx, dmask, valid3, train)
         x = SparseConvBN(64, cfg, ax)(x, sidx, smask, valid3, train, z_taps=sp.center_column_taps(3))
 
-        co4, didx, dmask, _, _, shape4, _ = _stage_rulebooks(
+        co4, didx, dmask, _, _, shape4, _, dinv4 = _stage_rulebooks(
             co3, shape3, (3, 1, 1), (2, 1, 1), 0, caps[3], lk3,
-            build_subm=False)
+            build_subm=False, build_inverse=train)
         valid4 = co4[:, :, 0] >= 0
         x = SparseConvBN(64, cfg, ax)(x, didx, dmask, valid4, train)
 

@@ -325,7 +325,8 @@ def conv_rulebook(in_coords, in_shape, out_coords, kernel, stride, padding):
 
 
 
-def apply_conv(features, idx, mask, weights, z_shift_taps=None):
+def apply_conv(features, idx, mask, weights, z_shift_taps=None,
+               inverse=None):
     """Gather-GEMM sparse convolution.
 
     features: (B, V, Cin); idx/mask: (B, O, K); weights: (K, Cin, Cout).
@@ -348,6 +349,10 @@ def apply_conv(features, idx, mask, weights, z_shift_taps=None):
     instead of per-tap row gathers (see apply_conv_window).
     """
     if mask.ndim == 4:
+        if inverse is not None:
+            r0i, presi, par, kspec = inverse
+            return apply_conv_window_inv(features, idx, mask, weights,
+                                         r0i, presi, par, kspec)
         return apply_conv_window(features, idx, mask, weights,
                                  z_shift_taps is not None)
     kvol = weights.shape[0]
@@ -852,6 +857,125 @@ def window_to_flat(r0, pres):
     b, o = r0.shape[:2]
     return (idx.transpose(0, 1, 3, 2).reshape(b, o, -1),
             pres.transpose(0, 1, 3, 2).reshape(b, o, -1))
+
+
+def strided_inverse_rulebook_batch(in_coords, kernel, stride, padding,
+                                   out_lookup, out_shape):
+    """Inverse rulebook of a strided conv, in OUTPUT rank space — the
+    gather-based backward's data structure.
+
+    For input voxel q, the outputs whose footprint covers it are
+    o_d = obase_d - c_d with obase = (q + pad) // s and c_d in
+    [0, ncand_d), ncand = ceil(k/s); the tap joining (q, o) is
+    j_d = par_d + c_d * s_d with par = (q + pad) mod s — so the candidate
+    index c_d(k) = j_d // s_d is STATIC per tap and only a per-voxel
+    parity mask (par_d == j_d mod s_d) is data-dependent. With
+    ncand_z <= 2 the z-candidates are ADJACENT output coordinates, hence
+    contiguous output ranks: one (ncand_z, C) window per BEV candidate
+    column — 4 gathers/voxel replacing the flat backward's 27
+    scatter-adds.
+
+    Returns (r0i (B, V, Kc), presi (B, V, Kc, ncand_z), par (B, V, 3),
+    kspec) or None when unsupported (non-bitmap lookup, or ncand > 2 in
+    any dim). in_coords must be the conv's INPUT rows (rank order).
+    """
+    if out_lookup is None or out_lookup[0] != "bitmap":
+        return None
+    k, s, p = _as3(kernel), _as3(stride), _as3(padding)
+    ncand = tuple(-(-k[d] // s[d]) for d in range(3))
+    if max(ncand) > 2:
+        return None
+    bev = np.stack(np.meshgrid(np.arange(ncand[1]), np.arange(ncand[2]),
+                               indexing="ij"), -1).reshape(-1, 2)
+    bev = jnp.asarray(bev, jnp.int32)                   # (Kc, 2) (cy, cx)
+    sv = jnp.asarray(s, jnp.int32)
+    pv = jnp.asarray(p, jnp.int32)
+
+    def one(tb, tl, th, co):
+        t = co + pv[None]
+        par = t % sv[None]                              # (V, 3)
+        obase = t // sv[None]
+        qy = obase[:, None, 1] - bev[None, :, 0]        # (V, Kc)
+        qx = obase[:, None, 2] - bev[None, :, 1]
+        z0 = jnp.broadcast_to((obase[:, 0] - (ncand[0] - 1))[:, None],
+                              qy.shape)
+        r0i, presi = _bitmap_column_windows((tb, tl, th), qy, qx, z0,
+                                            ncand[0], out_shape)
+        valid = (co[:, 0] >= 0)[:, None, None]
+        return r0i, presi & valid, par
+
+    r0i, presi, par = jax.vmap(one)(*out_lookup[1], in_coords)
+    return r0i, presi, par, (k, s, ncand)
+
+
+def _strided_inverse_df(dy, r0i, presi, par, weights, kspec):
+    """d(features) of a strided window conv via the inverse rulebook:
+    df[q] = sum_k parmask_k(q) * window[c(k)][row(k)](q) @ W_k^T."""
+    k3, s3, ncand = kspec
+    nz = ncand[0]
+    kc = r0i.shape[-1]
+    cout = dy.shape[-1]
+
+    dy_pad = jnp.pad(dy, ((0, 0), (0, max(nz - 1, 1)), (0, 0)))
+    r0c = jnp.minimum(r0i, dy.shape[1] - 1)
+
+    # selected output rows per candidate column / z-candidate
+    rows = []                                           # [col][m] (B,V,Cout)
+    for ci in range(kc):
+        taps = jax.vmap(_window_taps, in_axes=(0, 0, 0))(
+            dy_pad, r0c[:, :, ci], presi[:, :, ci])
+        rows.append(taps)
+
+    out = None
+    kvol = weights.shape[0]
+    for kk in range(kvol):
+        jz = kk // (k3[1] * k3[2])
+        jy = (kk // k3[2]) % k3[1]
+        jx = kk % k3[2]
+        cz, cy, cx = jz // s3[0], jy // s3[1], jx // s3[2]
+        if cz >= ncand[0] or cy >= ncand[1] or cx >= ncand[2]:
+            continue                                   # tap unreachable
+        ci = cy * ncand[2] + cx
+        m = (ncand[0] - 1) - cz
+        pm = ((par[..., 0] == jz % s3[0])
+              & (par[..., 1] == jy % s3[1])
+              & (par[..., 2] == jx % s3[2]))
+        row = rows[ci][m] * pm[..., None].astype(dy.dtype)
+        y = jnp.einsum("bod,cd->boc", row, weights[kk],
+                       preferred_element_type=jnp.float32)
+        out = y if out is None else out + y
+    return out
+
+
+@partial(jax.custom_vjp, nondiff_argnums=(7,))
+def apply_conv_window_inv(features, r0, pres, weights, r0i, presi, par,
+                          kspec):
+    """Strided window conv carrying its inverse rulebook: the forward is
+    identical to apply_conv_window(center_shift=False); the backward's
+    d(features) uses the inverse rulebook's output-rank window gathers
+    instead of the flat path's 27 per-tap scatter-adds (see
+    strided_inverse_rulebook_batch). Measured: SECOND train step
+    239.8 -> 220.4 ms @ B=2 (tools/mfu.py, v5e)."""
+    return _window_conv_impl(features, r0, pres, weights, False)
+
+
+def _acwi_fwd(features, r0, pres, weights, r0i, presi, par, kspec):
+    out = _window_conv_impl(features, r0, pres, weights, False)
+    return out, (features, r0, pres, weights, r0i, presi, par)
+
+
+def _acwi_bwd(kspec, res, dy):
+    features, r0, pres, weights, r0i, presi, par = res
+    df = _strided_inverse_df(dy, r0i, presi, par, weights, kspec)
+    dw = _window_conv_dw(features, r0, pres, dy, False)
+    f0 = jax.dtypes.float0
+    return (df.astype(features.dtype), np.zeros(r0.shape, f0),
+            np.zeros(pres.shape, f0), dw.astype(weights.dtype),
+            np.zeros(r0i.shape, f0), np.zeros(presi.shape, f0),
+            np.zeros(par.shape, f0))
+
+
+apply_conv_window_inv.defvjp(_acwi_fwd, _acwi_bwd)
 
 
 @partial(jax.custom_vjp, nondiff_argnums=(4,))

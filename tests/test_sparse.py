@@ -350,3 +350,46 @@ def test_window_strided_grad_matches_flat(rng):
                                rtol=2e-4, atol=2e-4)
     np.testing.assert_allclose(np.asarray(gw_w), np.asarray(gw_f),
                                rtol=2e-4, atol=2e-4)
+
+
+def test_inverse_rulebook_strided_grad_matches_flat(rng):
+    """The gather-based (inverse-rulebook) strided backward must produce
+    the same gradients as the flat scatter-based one, for both the
+    k3/s2 asymmetric-pad downsample and the (3,1,1)/(2,1,1) z-collapse."""
+    for kernel, stride, pad in ((3, 2, (0, 1, 1)),
+                                ((3, 1, 1), (2, 1, 1), 0)):
+        feats, coords, lookup = _ranked(rng, 2, 35, 64, 4, SHAPE)
+        w_np = rng.randn(int(np.prod(np.broadcast_to(
+            np.asarray(kernel), (3,)))), 4, 5).astype(np.float32)
+        w = jnp.asarray(w_np)
+        out_co, oshape = jax.vmap(lambda co: sp.conv_out_coords(
+            co, SHAPE, kernel, stride, pad, 128))(coords)[0], \
+            sp.out_spatial_shape(SHAPE, kernel, stride, pad)
+        # rank-order the outputs and build their bitmap (as the backbones do)
+        _, out_co, out_lookup = sp.stage_lookup_batch(out_co, oshape)
+
+        r0, pres = sp.conv_window_rulebook_batch(SHAPE, out_co, kernel,
+                                                 stride, pad, lookup)
+        fidx, fmask = sp.conv_rulebook_batch(SHAPE, out_co, kernel, stride,
+                                             pad, lookup)
+        inv = sp.strided_inverse_rulebook_batch(coords, kernel, stride,
+                                                pad, out_lookup, oshape)
+        assert inv is not None
+
+        def loss_inv(f, ww):
+            return (sp.apply_conv(f, r0, pres, ww, inverse=inv) ** 2).sum()
+
+        def loss_flat(f, ww):
+            return (sp.apply_conv(f, fidx, fmask, ww) ** 2).sum()
+
+        out_i = sp.apply_conv(feats, r0, pres, w, inverse=inv)
+        out_f = sp.apply_conv(feats, fidx, fmask, w)
+        np.testing.assert_allclose(np.asarray(out_i), np.asarray(out_f),
+                                   rtol=2e-4, atol=2e-4)
+
+        gf_i, gw_i = jax.grad(loss_inv, argnums=(0, 1))(feats, w)
+        gf_f, gw_f = jax.grad(loss_flat, argnums=(0, 1))(feats, w)
+        np.testing.assert_allclose(np.asarray(gf_i), np.asarray(gf_f),
+                                   rtol=2e-4, atol=2e-4), kernel
+        np.testing.assert_allclose(np.asarray(gw_i), np.asarray(gw_f),
+                                   rtol=2e-4, atol=2e-4)
