@@ -459,12 +459,20 @@ def yxz_order(coords, shape):
     return jnp.argsort(yxz_lin(coords, shape)).astype(jnp.int32)
 
 
+def _bitmap_stride(d):
+    """Words per column in the interleaved table: [base, lo] for d <= 32,
+    [base, lo, hi, 0] (padded to a power-of-2 stride) for d in (32, 64]."""
+    return 4 if d > 32 else 2
+
+
 def build_bitmap(coords, shape):
     """One sample's bitmap lookup. coords (V, 3) zyx IN yxz ORDER.
 
-    Returns (t_base (h*w,) int32 exclusive rank base per column,
-    t_lo (h*w,) uint32 bits z in [0,32), t_hi (h*w,) uint32 z in
-    [32,64))."""
+    Returns an INTERLEAVED (stride * h*w,) int32 table: per BEV column,
+    [rank base (exclusive), z-bits 0..31, (z-bits 32..63, pad)] — one
+    (stride,)-slice gather fetches a whole column where the three-table
+    layout cost 2-3 element gathers (measured 1.36x/1.47x faster per
+    query, tools/probes/probe_interleave.py)."""
     d, h, w = shape
     assert d <= 64, f"bitmap lookup needs depth <= 64, got {d}"
     z, y, x = coords[:, 0], coords[:, 1], coords[:, 2]
@@ -485,31 +493,62 @@ def build_bitmap(coords, shape):
     counts = (jax.lax.population_count(t_lo)
               + jax.lax.population_count(t_hi)).astype(jnp.int32)
     t_base = jnp.cumsum(counts) - counts                    # exclusive
-    return t_base, t_lo, t_hi
+    parts = [t_base, jax.lax.bitcast_convert_type(t_lo, jnp.int32)]
+    if d > 32:
+        parts += [jax.lax.bitcast_convert_type(t_hi, jnp.int32),
+                  jnp.zeros_like(t_base)]
+    return jnp.stack(parts, axis=1).reshape(-1)
 
 
 def build_bitmap_batch(coords, shape):
-    """(B, V, 3) yxz-ordered -> batched (t_base, t_lo, t_hi), each (B, M).
+    """(B, V, 3) yxz-ordered -> batched interleaved tables (B, stride*M).
     Builds go through lax.map (vmapped scatters degrade ~5x, see above)."""
     return jax.lax.map(lambda co: build_bitmap(co, shape), coords)
+
+
+def _bitmap_fetch(table, flat, d):
+    """One (stride,)-slice gather per column query -> (base, lo, hi).
+
+    flat: (...,) in-range column ids (callers clamp OOB to 0). table may
+    be batched (B, stride*M) with flat (B, ...): the batch is FLATTENED
+    into one global gather with per-sample offsets — a vmapped slice
+    gather degrades 14.2 -> 21.0 ns/query while the flattened form stays
+    at 14.3 (tools/probes/probe_interleave.py), so the rulebook builders
+    are written batched rather than vmapped."""
+    s = _bitmap_stride(d)
+    if table.ndim == 2:
+        bsz, sm = table.shape
+        off = (jnp.arange(bsz, dtype=jnp.int32) * (sm // s)).reshape(
+            (bsz,) + (1,) * (flat.ndim - 1))
+        q = flat + off
+        tf = table.reshape(-1)
+    else:
+        q = flat
+        tf = table
+    g = jax.lax.gather(
+        tf, (q.reshape(-1) * s)[:, None],
+        jax.lax.GatherDimensionNumbers(offset_dims=(1,),
+                                       collapsed_slice_dims=(),
+                                       start_index_map=(0,)),
+        slice_sizes=(s,), mode=jax.lax.GatherScatterMode.CLIP)
+    g = g.reshape(flat.shape + (s,))
+    base = g[..., 0]
+    lo = jax.lax.bitcast_convert_type(g[..., 1], jnp.uint32)
+    hi = (jax.lax.bitcast_convert_type(g[..., 2], jnp.uint32)
+          if d > 32 else jnp.uint32(0))
+    return base, lo, hi
 
 
 def _bitmap_column_ranks(bitmap, qy, qx, z0, kz, shape):
     """Shared-column rank computation.
 
     qy/qx: (...,) BEV column queries; z0: (...,) first z tap; kz z taps
-    z0..z0+kz-1 all resolved from ONE (base, lo, hi) fetch per column.
+    z0..z0+kz-1 all resolved from ONE interleaved slice fetch per column.
     Returns (rank (..., kz), found (..., kz))."""
     d, h, w = shape
-    t_base, t_lo, t_hi = bitmap
     okc = (qy >= 0) & (qy < h) & (qx >= 0) & (qx < w)
     flat = jnp.where(okc, qy * w + qx, 0)
-    base = t_base[flat]
-    lo = t_lo[flat]
-    # shallow grids (d <= 32, every resolution after the first downsample
-    # at lidar scales) never populate the hi word: skip its gather — 2
-    # elements per column instead of 3
-    hi = t_hi[flat] if d > 32 else jnp.uint32(0)
+    base, lo, hi = _bitmap_fetch(bitmap, flat, d)
     outs_r, outs_f = [], []
     for j in range(kz):
         z = z0 + j
@@ -539,39 +578,28 @@ def _bitmap_column_ranks(bitmap, qy, qx, z0, kz, shape):
     return jnp.stack(outs_r, axis=-1), jnp.stack(outs_f, axis=-1)
 
 
-def _bitmap_rulebook(bitmap, coords_zyx, bev_taps, z0_offset, kz, shape):
-    """Common core: coords (V, 3) query rows, bev_taps (Kbev, 2) (dy, dx)
-    already scaled/padded, z0_offset scalar added to each row's z.
-    Returns (idx (V, kz*Kbev...) in TAP-MAJOR z-outer order, found)."""
-    qy = coords_zyx[:, None, 1] + bev_taps[None, :, 0]      # (V, Kbev)
-    qx = coords_zyx[:, None, 2] + bev_taps[None, :, 1]
-    z0 = (coords_zyx[:, 0] + z0_offset)[:, None]            # (V, 1)
-    z0 = jnp.broadcast_to(z0, qy.shape)
-    rank, found = _bitmap_column_ranks(bitmap, qy, qx, z0, kz, shape)
-    # (V, Kbev, kz) -> (V, kz, Kbev) -> (V, K) matching _tap_offsets'
-    # z-major (jz, jy, jx) ordering
-    v = coords_zyx.shape[0]
-    return (rank.transpose(0, 2, 1).reshape(v, -1),
-            found.transpose(0, 2, 1).reshape(v, -1))
-
-
 def subm_rulebook_bitmap(coords, shape, kernel, bitmap):
     """Batched submanifold rulebook over a bitmap lookup.
 
     coords: (B, V, 3) zyx IN yxz ORDER (rows match the bitmap ranks).
     Returns (idx (B, V, K), mask (B, V, K)) with idx in row (=rank) space.
-    """
+    Written batched, not vmapped: the fetch flattens the batch into one
+    global gather (see _bitmap_fetch)."""
     k = _as3(kernel)
     pad = tuple(kk // 2 for kk in k)
     bev = _tap_offsets((1, k[1], k[2]))[:, 1:]              # (ky*kx, 2)
     bev = jnp.asarray(bev - np.asarray(pad[1:]), jnp.int32)
 
-    def one(tb, tl, th, co):
-        idx, found = _bitmap_rulebook((tb, tl, th), co, bev, -pad[0],
-                                      k[0], shape)
-        return idx, found & (co[:, 0] >= 0)[:, None]
-
-    return jax.vmap(one)(*bitmap, coords)
+    qy = coords[:, :, None, 1] + bev[None, None, :, 0]      # (B, V, Kbev)
+    qx = coords[:, :, None, 2] + bev[None, None, :, 1]
+    z0 = jnp.broadcast_to((coords[:, :, 0] - pad[0])[:, :, None], qy.shape)
+    rank, found = _bitmap_column_ranks(bitmap, qy, qx, z0, k[0], shape)
+    # (B, V, Kbev, kz) -> (B, V, kz, Kbev) -> (B, V, K): _tap_offsets'
+    # z-major (jz, jy, jx) ordering
+    b, v = coords.shape[:2]
+    idx = rank.transpose(0, 1, 3, 2).reshape(b, v, -1)
+    fnd = found.transpose(0, 1, 3, 2).reshape(b, v, -1)
+    return idx, fnd & (coords[:, :, 0] >= 0)[:, :, None]
 
 
 def conv_rulebook_bitmap(in_shape, out_coords, kernel, stride, padding,
@@ -582,20 +610,15 @@ def conv_rulebook_bitmap(in_shape, out_coords, kernel, stride, padding,
     bev = _tap_offsets((1, k[1], k[2]))[:, 1:]              # (ky*kx, 2)
     bev = jnp.asarray(bev, jnp.int32)
 
-    def one(tb, tl, th, co):
-        scaled = co * jnp.asarray(s, jnp.int32)[None]
-        qy = scaled[:, None, 1] + bev[None, :, 0] - p[1]
-        qx = scaled[:, None, 2] + bev[None, :, 1] - p[2]
-        z0 = (scaled[:, 0] - p[0])[:, None]
-        z0 = jnp.broadcast_to(z0, qy.shape)
-        rank, found = _bitmap_column_ranks((tb, tl, th), qy, qx, z0,
-                                           k[0], in_shape)
-        o = co.shape[0]
-        idx = rank.transpose(0, 2, 1).reshape(o, -1)
-        fnd = found.transpose(0, 2, 1).reshape(o, -1)
-        return idx, fnd & (co[:, 0] >= 0)[:, None]
-
-    return jax.vmap(one)(*bitmap, out_coords)
+    scaled = out_coords * jnp.asarray(s, jnp.int32)[None, None]
+    qy = scaled[:, :, None, 1] + bev[None, None, :, 0] - p[1]
+    qx = scaled[:, :, None, 2] + bev[None, None, :, 1] - p[2]
+    z0 = jnp.broadcast_to((scaled[:, :, 0] - p[0])[:, :, None], qy.shape)
+    rank, found = _bitmap_column_ranks(bitmap, qy, qx, z0, k[0], in_shape)
+    b, o = out_coords.shape[:2]
+    idx = rank.transpose(0, 1, 3, 2).reshape(b, o, -1)
+    fnd = found.transpose(0, 1, 3, 2).reshape(b, o, -1)
+    return idx, fnd & (out_coords[:, :, 0] >= 0)[:, :, None]
 
 
 # ---------------------------------------------------------------------------
@@ -625,12 +648,9 @@ def _bitmap_column_windows(bitmap, qy, qx, z0, kz, shape):
     Returns (r0 (...,) int32 = rank the z0 tap would have,
              pres (..., kz) bool per-tap presence)."""
     d, h, w = shape
-    t_base, t_lo, t_hi = bitmap
     okc = (qy >= 0) & (qy < h) & (qx >= 0) & (qx < w)
     flat = jnp.where(okc, qy * w + qx, 0)
-    base = t_base[flat]
-    lo = t_lo[flat]
-    hi = t_hi[flat] if d > 32 else jnp.uint32(0)
+    base, lo, hi = _bitmap_fetch(bitmap, flat, d)
 
     def below(z):
         zc = jnp.clip(z, 0, d - 1)
@@ -675,15 +695,12 @@ def subm_window_rulebook_batch(coords, shape, kernel, lookup_struct):
     bev = _tap_offsets((1, k[1], k[2]))[:, 1:]              # (Kbev, 2)
     bev = jnp.asarray(bev - np.asarray(pad[1:]), jnp.int32)
 
-    def one(tb, tl, th, co):
-        qy = co[:, None, 1] + bev[None, :, 0]               # (V, Kbev)
-        qx = co[:, None, 2] + bev[None, :, 1]
-        z0 = jnp.broadcast_to((co[:, 0] - pad[0])[:, None], qy.shape)
-        r0, pres = _bitmap_column_windows((tb, tl, th), qy, qx, z0,
-                                          k[0], shape)
-        return r0, pres & (co[:, 0] >= 0)[:, None, None]
-
-    return jax.vmap(one)(*lookup_struct[1], coords)
+    qy = coords[:, :, None, 1] + bev[None, None, :, 0]      # (B, V, Kbev)
+    qx = coords[:, :, None, 2] + bev[None, None, :, 1]
+    z0 = jnp.broadcast_to((coords[:, :, 0] - pad[0])[:, :, None], qy.shape)
+    r0, pres = _bitmap_column_windows(lookup_struct[1], qy, qx, z0, k[0],
+                                      shape)
+    return r0, pres & (coords[:, :, 0] >= 0)[:, :, None, None]
 
 
 def conv_window_rulebook_batch(in_shape, out_coords, kernel, stride,
@@ -698,16 +715,13 @@ def conv_window_rulebook_batch(in_shape, out_coords, kernel, stride,
     k, s, p = _as3(kernel), _as3(stride), _as3(padding)
     bev = jnp.asarray(_tap_offsets((1, k[1], k[2]))[:, 1:], jnp.int32)
 
-    def one(tb, tl, th, co):
-        scaled = co * jnp.asarray(s, jnp.int32)[None]
-        qy = scaled[:, None, 1] + bev[None, :, 0] - p[1]
-        qx = scaled[:, None, 2] + bev[None, :, 1] - p[2]
-        z0 = jnp.broadcast_to((scaled[:, 0] - p[0])[:, None], qy.shape)
-        r0, pres = _bitmap_column_windows((tb, tl, th), qy, qx, z0,
-                                          k[0], in_shape)
-        return r0, pres & (co[:, 0] >= 0)[:, None, None]
-
-    return jax.vmap(one)(*lookup_struct[1], out_coords)
+    scaled = out_coords * jnp.asarray(s, jnp.int32)[None, None]
+    qy = scaled[:, :, None, 1] + bev[None, None, :, 0] - p[1]
+    qx = scaled[:, :, None, 2] + bev[None, None, :, 1] - p[2]
+    z0 = jnp.broadcast_to((scaled[:, :, 0] - p[0])[:, :, None], qy.shape)
+    r0, pres = _bitmap_column_windows(lookup_struct[1], qy, qx, z0, k[0],
+                                      in_shape)
+    return r0, pres & (out_coords[:, :, 0] >= 0)[:, :, None, None]
 
 
 def _window_taps(features, r0, pres):
@@ -891,20 +905,16 @@ def strided_inverse_rulebook_batch(in_coords, kernel, stride, padding,
     sv = jnp.asarray(s, jnp.int32)
     pv = jnp.asarray(p, jnp.int32)
 
-    def one(tb, tl, th, co):
-        t = co + pv[None]
-        par = t % sv[None]                              # (V, 3)
-        obase = t // sv[None]
-        qy = obase[:, None, 1] - bev[None, :, 0]        # (V, Kc)
-        qx = obase[:, None, 2] - bev[None, :, 1]
-        z0 = jnp.broadcast_to((obase[:, 0] - (ncand[0] - 1))[:, None],
-                              qy.shape)
-        r0i, presi = _bitmap_column_windows((tb, tl, th), qy, qx, z0,
-                                            ncand[0], out_shape)
-        valid = (co[:, 0] >= 0)[:, None, None]
-        return r0i, presi & valid, par
-
-    r0i, presi, par = jax.vmap(one)(*out_lookup[1], in_coords)
+    t = in_coords + pv[None, None]
+    par = t % sv[None, None]                            # (B, V, 3)
+    obase = t // sv[None, None]
+    qy = obase[:, :, None, 1] - bev[None, None, :, 0]   # (B, V, Kc)
+    qx = obase[:, :, None, 2] - bev[None, None, :, 1]
+    z0 = jnp.broadcast_to((obase[:, :, 0] - (ncand[0] - 1))[:, :, None],
+                          qy.shape)
+    r0i, presi = _bitmap_column_windows(out_lookup[1], qy, qx, z0,
+                                        ncand[0], out_shape)
+    presi = presi & (in_coords[:, :, 0] >= 0)[:, :, None, None]
     return r0i, presi, par, (k, s, ncand)
 
 

@@ -56,18 +56,17 @@ def main():
 
     # bitmap
     b_bm = jax.jit(lambda c: sp.build_bitmap_batch(c, shape))
-    t = timeit(lambda: b_bm(co_s), lambda: float(b_bm(co_s)[0][0, 0]))
+    t = timeit(lambda: b_bm(co_s), lambda: float(b_bm(co_s)[0, 0]))
     print(f"bitmap build: {t * 1e3:7.2f} ms")
     bm = b_bm(co_s)
-    q_bm = jax.jit(lambda tb, tl, th, c: sp.subm_rulebook_bitmap(
-        c, shape, 3, (tb, tl, th)))
-    t = timeit(lambda: q_bm(*bm, co_s),
-               lambda: float(q_bm(*bm, co_s)[0].sum()))
+    q_bm = jax.jit(lambda ti, c: sp.subm_rulebook_bitmap(c, shape, 3, ti))
+    t = timeit(lambda: q_bm(bm, co_s),
+               lambda: float(q_bm(bm, co_s)[0].sum()))
     print(f"bitmap subm queries: {t * 1e3:7.2f} ms")
 
     # cross-check
     i1, m1 = q_dense(table, co_s)
-    i2, m2 = q_bm(*bm, co_s)
+    i2, m2 = q_bm(bm, co_s)
     assert np.array_equal(np.asarray(m1), np.asarray(m2))
     assert np.array_equal(np.asarray(i1)[np.asarray(m1)],
                           np.asarray(i2)[np.asarray(m2)])

@@ -87,12 +87,55 @@ def main():
             slice_sizes=(4,), mode=lax.GatherScatterMode.CLIP)
         return (g[:, 0] + g[:, 1] + g[:, 2]).sum()
 
+    # vmapped variants — the rulebook builders run their fetches under
+    # jax.vmap over the batch; element gathers measured vmap-safe, but
+    # slice gathers may lower differently with a batch dim.
+    b = 2
+    t_base_b = jnp.stack([t_base] * b)
+    t_lo_b = jnp.stack([t_lo] * b)
+    inter_b = jnp.stack([inter] * b)
+    q_b = q.reshape(b, -1)
+
+    @jax.jit
+    def vm_two(tb, tl, qq):
+        return jax.vmap(lambda a, c, d_: (a[d_] + c[d_]).sum())(
+            tb, tl, qq).sum()
+
+    @jax.jit
+    def vm_slice2(ti, qq):
+        def one(t, d_):
+            g = lax.gather(
+                t, (d_ * 2)[:, None],
+                lax.GatherDimensionNumbers(offset_dims=(1,),
+                                           collapsed_slice_dims=(),
+                                           start_index_map=(0,)),
+                slice_sizes=(2,), mode=lax.GatherScatterMode.CLIP)
+            return (g[:, 0] + g[:, 1]).sum()
+        return jax.vmap(one)(ti, qq).sum()
+
+    @jax.jit
+    def flat_slice2(ti, qq):
+        m_ = ti.shape[1] // 2
+        tf = ti.reshape(-1)
+        qf = (qq + (jnp.arange(b, dtype=jnp.int32) * m_)[:, None]
+              ).reshape(-1)
+        g = lax.gather(
+            tf, (qf * 2)[:, None],
+            lax.GatherDimensionNumbers(offset_dims=(1,),
+                                       collapsed_slice_dims=(),
+                                       start_index_map=(0,)),
+            slice_sizes=(2,), mode=lax.GatherScatterMode.CLIP)
+        return (g[:, 0] + g[:, 1]).sum()
+
     for name, fn, args in (
             ("2 tables", two_tables, (t_base, t_lo, q)),
             ("slice2  ", slice2, (inter, q)),
             ("2d table", table2d, (inter, q)),
             ("3 tables", three_tables, (t_base, t_lo, t_hi, q)),
-            ("slice4  ", slice4, (inter4, q))):
+            ("slice4  ", slice4, (inter4, q)),
+            ("vmap 2 tables", vm_two, (t_base_b, t_lo_b, q_b)),
+            ("vmap slice2  ", vm_slice2, (inter_b, q_b)),
+            ("flat slice2  ", flat_slice2, (inter_b, q_b))):
         out = fn(*args)
         t = timeit(lambda: fn(*args), lambda: float(fn(*args)))
         print(f"{name}: {t*1e3:7.3f} ms  ({t/nq*1e9:5.2f} ns/query)"
