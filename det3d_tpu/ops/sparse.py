@@ -860,6 +860,62 @@ def _window_conv_dw(features, r0, pres, dy, center_shift):
     return dw.transpose(1, 0, 2, 3).reshape(kz * kbev, cin, cout)
 
 
+def _window_conv_bwd_fused(dy, r0, pres, weights, features):
+    """Fused subm-conv backward: ONE dy-tap gather pass yields both df
+    and dw (halves the backward's gather descriptors vs computing df via
+    a second window conv and dw via _window_conv_dw's re-gather).
+
+    The subm rulebook is self-transpose (idx[o,k]==i <=> idx[i,K-1-k]==o
+    with equal masks), so with t_m(dy)[i] = dy[idx[i,m]]*mask:
+
+        df[i]    = sum_m t_m(dy)[i] @ W[K-1-m]^T
+        dw[K-1-m] = sum_i f[i] (x) t_m(dy)[i]
+
+    i.e. every reversed-traversal dy tap feeds one df term AND one dw
+    entry. ``weights`` is the FORWARD (K, Cin, Cout) array; returns
+    (df (B, V, Cin), dw (K, Cin, Cout)) in z-major tap order."""
+    kz = pres.shape[-1]
+    kbev = r0.shape[-1]
+    cin, cout = weights.shape[-2:]
+    b, o = r0.shape[:2]
+    wrev = weights[::-1].transpose(0, 2, 1)             # wrev[m] = W[K-1-m]^T
+    w_cols, cols, cc = _split_cols(r0, pres, wrev, True)
+
+    # center BEV column: taps by rank shifts (zero gather descriptors)
+    df = None
+    dw_arr = jnp.zeros((kbev, kz, cin, cout), jnp.float32)
+    for j, t in enumerate(_center_taps(dy, pres[:, :, cc])):
+        y = jnp.einsum("bod,dc->boc", t, w_cols[cc, j],
+                       preferred_element_type=jnp.float32)
+        df = y if df is None else df + y
+        # m = (jz=j, cb=cc); K-1-m = (kz-1-j, kbev-1-cc == cc)
+        dw_arr = dw_arr.at[cc, kz - 1 - j].set(
+            jnp.einsum("boc,bod->cd", features, t,
+                       preferred_element_type=jnp.float32))
+
+    dy_pad = jnp.pad(dy, ((0, 0), (0, kz - 1), (0, 0)))
+    r0c = jnp.minimum(r0, dy.shape[1] - 1)
+    r_s = r0c[:, :, cols].transpose(2, 0, 1)            # (Kc, B, O)
+    p_s = pres[:, :, cols].transpose(2, 0, 1, 3)        # (Kc, B, O, kz)
+    w_s = w_cols[cols]                                  # (Kc, kz, Cout, Cin)
+
+    def body(acc, args):
+        rk, pk, wk = args
+        taps = jax.vmap(_window_taps, in_axes=(0, 0, 0))(dy_pad, rk, pk)
+        dws = []
+        for j, t in enumerate(taps):
+            acc = acc + jnp.einsum("bod,dc->boc", t, wk[j],
+                                   preferred_element_type=jnp.float32)
+            dws.append(jnp.einsum("boc,bod->cd", features, t,
+                                  preferred_element_type=jnp.float32))
+        return acc, jnp.stack(dws)
+
+    df, dw_cols = jax.lax.scan(body, df, (r_s, p_s, w_s))
+    # column cb traversed reversed: target (kbev-1-cb, kz-1-j)
+    dw_arr = dw_arr.at[kbev - 1 - cols].set(dw_cols[:, ::-1])
+    return df, dw_arr.transpose(1, 0, 2, 3).reshape(kz * kbev, cin, cout)
+
+
 def window_to_flat(r0, pres):
     """Window rulebook -> flat per-tap (idx, mask) in z-major tap order.
 
@@ -918,9 +974,15 @@ def strided_inverse_rulebook_batch(in_coords, kernel, stride, padding,
     return r0i, presi, par, (k, s, ncand)
 
 
-def _strided_inverse_df(dy, r0i, presi, par, weights, kspec):
+def _strided_inverse_df(dy, r0i, presi, par, weights, kspec,
+                        features=None):
     """d(features) of a strided window conv via the inverse rulebook:
-    df[q] = sum_k parmask_k(q) * window[c(k)][row(k)](q) @ W_k^T."""
+    df[q] = sum_k parmask_k(q) * window[c(k)][row(k)](q) @ W_k^T.
+
+    When ``features`` is given, also returns dw from the SAME dy rows:
+    row_kk[i] is exactly dy[o] over the (i, o) pairs tap kk joins, so
+    dw[kk] = sum_i f[i] (x) row_kk[i] — no second gather pass over the
+    forward rulebook. Returns df or (df, dw (K, Cin, Cout))."""
     k3, s3, ncand = kspec
     nz = ncand[0]
     kc = r0i.shape[-1]
@@ -938,6 +1000,7 @@ def _strided_inverse_df(dy, r0i, presi, par, weights, kspec):
 
     out = None
     kvol = weights.shape[0]
+    dws = [None] * kvol
     for kk in range(kvol):
         jz = kk // (k3[1] * k3[2])
         jy = (kk // k3[2]) % k3[1]
@@ -954,7 +1017,15 @@ def _strided_inverse_df(dy, r0i, presi, par, weights, kspec):
         y = jnp.einsum("bod,cd->boc", row, weights[kk],
                        preferred_element_type=jnp.float32)
         out = y if out is None else out + y
-    return out
+        if features is not None:
+            dws[kk] = jnp.einsum("boc,bod->cd", features, row,
+                                 preferred_element_type=jnp.float32)
+    if features is None:
+        return out
+    cin = weights.shape[-2]
+    zero = jnp.zeros((cin, cout), jnp.float32)
+    dw = jnp.stack([d if d is not None else zero for d in dws])
+    return out, dw
 
 
 @partial(jax.custom_vjp, nondiff_argnums=(7,))
@@ -976,8 +1047,8 @@ def _acwi_fwd(features, r0, pres, weights, r0i, presi, par, kspec):
 
 def _acwi_bwd(kspec, res, dy):
     features, r0, pres, weights, r0i, presi, par = res
-    df = _strided_inverse_df(dy, r0i, presi, par, weights, kspec)
-    dw = _window_conv_dw(features, r0, pres, dy, False)
+    df, dw = _strided_inverse_df(dy, r0i, presi, par, weights, kspec,
+                                 features=features)
     f0 = jax.dtypes.float0
     return (df.astype(features.dtype), np.zeros(r0.shape, f0),
             np.zeros(pres.shape, f0), dw.astype(weights.dtype),
@@ -1023,10 +1094,9 @@ def _acw_bwd(center_shift, res, dy):
         # subm rulebooks are symmetric: idx[o, k] == i  <=>
         # idx[i, K-1-k] == o with equal masks, so df is a window conv of
         # dy with W'_k = W[K-1-k]^T (the reversed array maps the center
-        # column onto itself: kbev-1-cc == cc for odd kernels)
-        wrev = weights[::-1].transpose(0, 2, 1)
-        df = _window_conv_impl(dy, r0, pres, wrev, True)
-        dw = _window_conv_dw(features, r0, pres, dy, True)
+        # column onto itself: kbev-1-cc == cc for odd kernels); dw shares
+        # the same dy-tap gather pass (_window_conv_bwd_fused).
+        df, dw = _window_conv_bwd_fused(dy, r0, pres, weights, features)
     else:
         idx, mask = window_to_flat(r0, pres)
         _, vjp = jax.vjp(lambda f: apply_conv(f, idx, mask, weights), features)
