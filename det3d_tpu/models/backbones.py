@@ -141,6 +141,11 @@ class SparseBasicBlock(nn.Module):
         return nn.relu(x + y)
 
 
+# A/B switch for the fused sort-free downsample transition
+# (sp.stage_transition_batch vs conv_out_coords + stage_lookup_batch).
+_SORT_FREE_TRANSITION = True
+
+
 def _stage_rulebooks(coords, shape, down_kernel, down_stride, down_pad,
                      max_out=None, in_lookup=None, build_subm=True,
                      build_inverse=False):
@@ -171,13 +176,20 @@ def _stage_rulebooks(coords, shape, down_kernel, down_stride, down_pad,
     max_out = max_out or coords.shape[1]
 
     oshape = sp.out_spatial_shape(shape, down_kernel, down_stride, down_pad)
-    out_co, _ = jax.vmap(
-        lambda co: sp.conv_out_coords(co, shape, down_kernel, down_stride,
-                                      down_pad, max_out))(coords)
-    if build_subm or build_inverse:
-        _, out_co, out_lookup = sp.stage_lookup_batch(out_co, oshape)
+    need_lookup = build_subm or build_inverse
+    if need_lookup and _SORT_FREE_TRANSITION and oshape[0] <= 32:
+        # fused sort-free transition: positions + bitmap in one pass
+        out_co, oshape, out_lookup = sp.stage_transition_batch(
+            coords, shape, down_kernel, down_stride, down_pad, max_out)
     else:
-        out_lookup = None
+        out_co, _ = jax.vmap(
+            lambda co: sp.conv_out_coords(co, shape, down_kernel,
+                                          down_stride, down_pad,
+                                          max_out))(coords)
+        if need_lookup:
+            _, out_co, out_lookup = sp.stage_lookup_batch(out_co, oshape)
+        else:
+            out_lookup = None
     if build_subm:
         sidx, smask = sp.subm_window_rulebook_batch(out_co, oshape, 3,
                                                     out_lookup)

@@ -249,6 +249,33 @@ def subm_rulebook(coords, shape, kernel=3):
 
 
 
+def _down_candidates(coords, shape, kernel, stride, padding, oshape):
+    """Per input voxel the candidate strided-conv outputs, per dim:
+    o_i = floor((p + pad)/s) - i for i in [0, ceil(k/s)).
+
+    Returns broadcastable (oz, oy, ox, ok): oz (V, ncz, 1, 1),
+    oy (V, 1, ncy, 1), ox (V, 1, 1, ncx), ok (V, ncz, ncy, ncx)."""
+    k, s, p = (_as3(v) for v in (kernel, stride, padding))
+    ncand = tuple(-(-k[d] // s[d]) for d in range(3))       # ceil(k/s)
+    cand, valid = [], []
+    for d in range(3):
+        pd = coords[:, d]
+        base = (pd + p[d]) // s[d]
+        i = jnp.arange(ncand[d], dtype=jnp.int32)
+        o = base[:, None] - i[None, :]                      # (V, ncand_d)
+        j = pd[:, None] + p[d] - o * s[d]                   # tap index
+        ok = (o >= 0) & (o < oshape[d]) & (j >= 0) & (j < k[d]) \
+            & (pd >= 0)[:, None]
+        cand.append(o)
+        valid.append(ok)
+    oz = cand[0][:, :, None, None]
+    oy = cand[1][:, None, :, None]
+    ox = cand[2][:, None, None, :]
+    ok = (valid[0][:, :, None, None] & valid[1][:, None, :, None]
+          & valid[2][:, None, None, :])
+    return oz, oy, ox, ok
+
+
 def conv_out_coords(coords, shape, kernel, stride, padding, max_out):
     """Exact spconv downsample output position set, compacted to max_out.
 
@@ -261,27 +288,7 @@ def conv_out_coords(coords, shape, kernel, stride, padding, max_out):
     """
     k, s, p = _as3(kernel), _as3(stride), _as3(padding)
     oshape = out_spatial_shape(shape, k, s, p)
-    ncand = tuple(-(-k[d] // s[d]) for d in range(3))       # ceil(k/s)
-
-    # per-dim candidates: o_i = floor((p + pad)/s) - i for i in [0, ncand)
-    cand = []
-    valid = []
-    for d in range(3):
-        pd = coords[:, d]
-        base = (pd + p[d]) // s[d]
-        i = jnp.arange(ncand[d], dtype=jnp.int32)
-        o = base[:, None] - i[None, :]                      # (V, ncand_d)
-        j = pd[:, None] + p[d] - o * s[d]                   # tap index
-        ok = (o >= 0) & (o < oshape[d]) & (j >= 0) & (j < k[d]) \
-            & (pd >= 0)[:, None]
-        cand.append(o)
-        valid.append(ok)
-
-    oz = cand[0][:, :, None, None]
-    oy = cand[1][:, None, :, None]
-    ox = cand[2][:, None, None, :]
-    ok = (valid[0][:, :, None, None] & valid[1][:, None, :, None]
-          & valid[2][:, None, None, :])
+    oz, oy, ox, ok = _down_candidates(coords, shape, k, s, p, oshape)
     lin = (oz * oshape[1] + oy) * oshape[2] + ox            # (V, nz, ny, nx)
     lin = jnp.where(ok, lin, _SENTINEL).reshape(-1)
 
@@ -1197,3 +1204,70 @@ def stage_lookup_batch(coords, shape):
     if shape[0] <= 64:
         return order, co, ("bitmap", build_bitmap_batch(co, shape))
     return order, co, build_lookup_batch(co, shape)
+
+
+def stage_transition_batch(coords, shape, kernel, stride, padding,
+                           max_out):
+    """Sort-free downsample transition: the strided conv's output
+    position set (yxz rank order, -1 padded) PLUS the new resolution's
+    interleaved bitmap, via dense-grid cumsum ranks.
+
+    Semantically identical to conv_out_coords -> stage_lookup_batch
+    (including the load-bearing low-z-prefix overflow drop), but with no
+    sorts at all: dedup is grid-occupancy idempotence, the drop policy is
+    an exclusive cumsum in zyx cell order, the yxz rank of every kept
+    cell comes from the bitmap's own (base, popcount-below) arithmetic,
+    and the bitmap is built by z-bit-packing the occupancy grid instead
+    of scattering voxel bits. Costs per sample: 2 scatters + 2 gathers
+    at candidate count (<= 8V) + elementwise/cumsum passes over the
+    OUTPUT grid. Requires output depth <= 32 (all post-downsample lidar
+    grids); callers fall back to the sort path otherwise.
+
+    Returns (out_coords (B, max_out, 3) zyx, ("bitmap", tables))."""
+    k, s, p = (_as3(v) for v in (kernel, stride, padding))
+    oshape = out_spatial_shape(shape, k, s, p)
+    do, ho, wo = oshape
+    if do > 32:
+        raise ValueError(f"stage_transition_batch needs depth <= 32, "
+                         f"got {do}")
+    ncells = do * ho * wo
+
+    def one(co):
+        oz, oy, ox, ok = _down_candidates(co, shape, k, s, p, oshape)
+        lin = ((oz * ho + oy) * wo + ox)
+        lin = jnp.broadcast_to(lin, ok.shape).reshape(-1)
+        okf = ok.reshape(-1)
+        occ = jnp.zeros((ncells,), jnp.int32).at[
+            jnp.where(okf, lin, ncells)].max(1, mode="drop")
+        # low-z prefix under the cap: zyx cell order IS ascending z major
+        zyx_rank = jnp.cumsum(occ) - occ
+        keep = (occ > 0) & (zyx_rank < max_out)
+
+        g = keep.reshape(do, ho, wo).transpose(1, 2, 0)     # (H, W, D)
+        bits = (g.astype(jnp.uint32)
+                << jnp.arange(do, dtype=jnp.uint32)[None, None]).sum(-1)
+        bits = bits.reshape(-1)                             # (H*W,)
+        counts = jax.lax.population_count(bits).astype(jnp.int32)
+        base = jnp.cumsum(counts) - counts
+        table = jnp.stack(
+            [base, jax.lax.bitcast_convert_type(bits, jnp.int32)], axis=1)
+        table = jnp.pad(table,
+                        ((_BM_PAD_FRONT, _BM_PAD_END), (0, 0))).reshape(-1)
+
+        # per-candidate yxz rank (same arithmetic the rulebooks use)
+        col = jnp.where(okf,
+                        (jnp.broadcast_to(oy, ok.shape).reshape(-1) * wo
+                         + jnp.broadcast_to(ox, ok.shape).reshape(-1)), 0)
+        zc = jnp.clip(jnp.broadcast_to(oz, ok.shape).reshape(-1),
+                      0, 31).astype(jnp.uint32)
+        bw = bits[col]
+        kept_c = okf & (((bw >> zc) & jnp.uint32(1)) != 0)
+        rank = base[col] + jax.lax.population_count(
+            bw & ((jnp.uint32(1) << zc) - jnp.uint32(1))).astype(jnp.int32)
+        out_lin = jnp.full((max_out,), _SENTINEL, jnp.int32).at[
+            jnp.where(kept_c, rank, max_out)].set(
+                jnp.where(kept_c, lin, _SENTINEL), mode="drop")
+        return delinearize(out_lin, oshape), table
+
+    out_co, tables = jax.lax.map(one, coords)
+    return out_co, oshape, ("bitmap", tables)

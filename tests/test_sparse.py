@@ -393,3 +393,77 @@ def test_inverse_rulebook_strided_grad_matches_flat(rng):
                                    rtol=2e-4, atol=2e-4), kernel
         np.testing.assert_allclose(np.asarray(gw_i), np.asarray(gw_f),
                                    rtol=2e-4, atol=2e-4)
+
+
+def test_window_rulebooks_at_grid_boundaries():
+    """Deterministic edge coverage for the row-span fetch: every boundary
+    column (x=0, x=w-1, y=0, y=h-1, all four corners) active, so kernel
+    rows span the table guards and wrap into neighboring rows — the
+    wrapped words must all be masked, matching the non-bitmap oracle."""
+    d, h, w = SHAPE
+    cells = set()
+    for y in range(h):
+        cells.add((0, y, 0))
+        cells.add((d - 1, y, w - 1))
+    for x in range(w):
+        cells.add((1, 0, x))
+        cells.add((2, h - 1, x))
+    co = np.full((len(cells) + 7, 3), -1, np.int32)
+    co[:len(cells)] = sorted(cells)
+    coords = jnp.asarray(co)[None]
+
+    order, coords, lookup = sp.stage_lookup_batch(coords, SHAPE)
+    assert lookup[0] == "bitmap"
+    r0, pres = sp.subm_window_rulebook_batch(coords, SHAPE, 3, lookup)
+    widx, wmask = sp.window_to_flat(r0, pres)
+    fidx, fmask = sp.subm_rulebook_batch(coords, SHAPE, 3, None)
+    np.testing.assert_array_equal(np.asarray(wmask), np.asarray(fmask))
+    np.testing.assert_array_equal(np.asarray(widx * wmask),
+                                  np.asarray(fidx * fmask))
+
+    # strided rulebook with padding 1: output x=0 queries x in {-1, 0, 1}
+    oc, _ = jax.vmap(lambda c: sp.conv_out_coords(
+        c, SHAPE, 3, 2, 1, 64))(coords)
+    oshape = sp.out_spatial_shape(SHAPE, 3, 2, 1)
+    _, oc, out_lookup = sp.stage_lookup_batch(oc, oshape)
+    r0d, presd = sp.conv_window_rulebook_batch(SHAPE, oc, 3, 2, 1, lookup)
+    didx, dmask = sp.window_to_flat(r0d, presd)
+    fidx2, fmask2 = sp.conv_rulebook_batch(SHAPE, oc, 3, 2, 1,
+                                           sp.build_lookup_batch(coords,
+                                                                 SHAPE))
+    np.testing.assert_array_equal(np.asarray(dmask), np.asarray(fmask2))
+    np.testing.assert_array_equal(np.asarray(didx * dmask),
+                                  np.asarray(fidx2 * fmask2))
+
+
+@pytest.mark.parametrize("max_out", [64, 9])
+def test_stage_transition_matches_sort_path(rng, max_out):
+    """The fused sort-free transition must equal conv_out_coords ->
+    stage_lookup_batch exactly: same rows (yxz rank order), same
+    interleaved bitmap words — including under cap overflow, where both
+    keep the identical low-z prefix."""
+    b = 2
+    coords = []
+    for i in range(b):
+        d, h, w = SHAPE
+        lin = rng.choice(d * h * w, size=37, replace=False)
+        z, y, x = lin // (h * w), (lin // w) % h, lin % w
+        co = np.full((48, 3), -1, np.int32)
+        co[:37] = np.stack([z, y, x], -1)
+        coords.append(co)
+    coords = jnp.asarray(np.stack(coords))
+
+    for kernel, stride, pad in [(3, 2, 1), (3, 2, (0, 1, 1)),
+                                ((3, 1, 1), (2, 1, 1), 0)]:
+        oshape = sp.out_spatial_shape(SHAPE, kernel, stride, pad)
+        oc_ref, _ = jax.vmap(lambda c: sp.conv_out_coords(
+            c, SHAPE, kernel, stride, pad, max_out))(coords)
+        _, oc_ref, lk_ref = sp.stage_lookup_batch(oc_ref, oshape)
+        oc_new, oshape2, lk_new = sp.stage_transition_batch(
+            coords, SHAPE, kernel, stride, pad, max_out)
+        assert oshape2 == oshape
+        assert lk_ref[0] == "bitmap" and lk_new[0] == "bitmap"
+        np.testing.assert_array_equal(np.asarray(oc_new),
+                                      np.asarray(oc_ref)), (kernel, max_out)
+        np.testing.assert_array_equal(np.asarray(lk_new[1]),
+                                      np.asarray(lk_ref[1]))
