@@ -82,6 +82,10 @@ voxel_generator = dict(
     voxel_size=[0.05, 0.05, 0.1],
     max_points_in_voxel=5,
     max_voxel_num=20000,
+    # rows in bitmap rank order: the sparse middle skips its res0
+    # argsort (KITTI scans occupy ~16k voxels, the cap never saturates,
+    # so the yxz overflow policy is moot here)
+    order="yxz",
 )
 
 db_sampler = dict(

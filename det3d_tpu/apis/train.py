@@ -58,7 +58,16 @@ def build_stack(cfg):
         fuse_mean=bool(fuse_mean))
     grid = voxel_gen.grid_size
 
-    model = build_detector(cfg["model"], train_cfg=cfg.get("train_cfg"),
+    # order="yxz" emits voxel rows in the sparse middles' bitmap rank
+    # order; tell the backbone so it skips its res0 argsort + row reorder
+    model_cfg = cfg["model"]
+    bb_cfg = (model_cfg or {}).get("backbone") or {}
+    if (voxel_gen.order == "yxz"
+            and "SpMiddle" in str(bb_cfg.get("type", ""))):
+        model_cfg = dict(model_cfg,
+                         backbone=dict(bb_cfg, pre_ranked=True))
+
+    model = build_detector(model_cfg, train_cfg=cfg.get("train_cfg"),
                            test_cfg=cfg.get("test_cfg"), grid_size=grid)
 
     assigner_cfg = cfg["assigner"]

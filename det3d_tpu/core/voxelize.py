@@ -84,9 +84,9 @@ def voxelize(points, num_points, *, voxel_size: Tuple[float, ...],
     lin = coords[:, 0] + coords[:, 1] * gx + coords[:, 2] * (gx * gy)
     lin = jnp.where(in_range, lin, _SENTINEL)
 
-    if order == "hashed":
+    if order in ("hashed", "yxz"):
         return _voxelize_hashed(points, lin, (gx, gy, gz), max_voxels,
-                                max_points)
+                                max_points, key_mode=order)
 
     order = jnp.argsort(lin, stable=True)                    # (P,) point perm
     slin = lin[order]
@@ -145,8 +145,31 @@ def _mix32(x):
     return x
 
 
-def _voxelize_hashed(points, lin, grid_size, max_voxels, max_points):
-    """Hashed-key voxel ordering: the descriptor-minimal path.
+def _sort_key(lin, grid_size, key_mode):
+    """Sort key selecting the voxel row ordering of the fast path.
+
+    "hashed": bijective hash — overflow drop is a uniform pseudo-random
+    voxel subset. "yxz": (y*gx + x)*gz + z rank key — rows come out in
+    the sparse middles' bitmap rank order (they can then skip their res0
+    argsort + row reorder entirely, middles' ``pre_ranked``); overflow
+    drop is a (y, x) scan-line prefix — spatially biased like the
+    reference numba kernel's consume-until-cap truncation
+    (point_cloud_ops.py:47), so reserve "yxz" for configs whose cap does
+    not saturate (e.g. KITTI SECOND: ~16k actives vs 20000 slots)."""
+    gx, gy, gz = grid_size
+    if key_mode == "yxz":
+        xx = lin % gx
+        yy = (lin // gx) % gy
+        zz = lin // (gx * gy)
+        key = (yy * gx + xx) * gz + zz
+        return jnp.where(lin == _SENTINEL, _SENTINEL, key)
+    return jnp.where(lin == _SENTINEL, jnp.uint32(0xFFFFFFFF),
+                     _mix32(lin))
+
+
+def _voxelize_hashed(points, lin, grid_size, max_voxels, max_points,
+                     key_mode="hashed"):
+    """Hashed- or yxz-key voxel ordering: the descriptor-minimal path.
 
     P-row (descriptor-bound) ops: one key+payload sort, one point gather,
     one voxel scatter, one head-payload scatter — vs the appearance path's
@@ -167,7 +190,7 @@ def _voxelize_hashed(points, lin, grid_size, max_voxels, max_points):
     gx, gy, _ = grid_size
     pos = jnp.arange(P, dtype=jnp.int32)
 
-    key = jnp.where(lin == _SENTINEL, jnp.uint32(0xFFFFFFFF), _mix32(lin))
+    key = _sort_key(lin, grid_size, key_mode)
     _, sorted_lin, perm = jax.lax.sort((key, lin, pos), num_keys=2)
     svalid = sorted_lin != _SENTINEL
     head = svalid & jnp.concatenate(
@@ -213,9 +236,10 @@ def _voxelize_hashed(points, lin, grid_size, max_voxels, max_points):
 
 
 @partial(jax.jit, static_argnames=("voxel_size", "pc_range", "grid_size",
-                                   "max_voxels", "max_points"))
+                                   "max_voxels", "max_points", "order"))
 def voxelize_mean(points, num_points, *, voxel_size, pc_range,
-                  grid_size, max_voxels: int, max_points: int):
+                  grid_size, max_voxels: int, max_points: int,
+                  order: str = "hashed"):
     """Fused voxelize + mean-VFE: per-voxel feature means with NO padded
     (V, T, C) buffer.
 
@@ -250,7 +274,7 @@ def voxelize_mean(points, num_points, *, voxel_size, pc_range,
     lin = jnp.where(in_range, lin, _SENTINEL)
 
     pos = jnp.arange(P, dtype=jnp.int32)
-    key = jnp.where(lin == _SENTINEL, jnp.uint32(0xFFFFFFFF), _mix32(lin))
+    key = _sort_key(lin, grid_size, order)
     _, sorted_lin, perm = jax.lax.sort((key, lin, pos), num_keys=2)
     svalid = sorted_lin != _SENTINEL
     head = svalid & jnp.concatenate(
@@ -310,6 +334,10 @@ class VoxelGenerator:
     # (half the descriptor-bound ops); its overflow drop is uniform over
     # voxels regardless of density, so use it when max_voxels cannot
     # overflow (the voxel SET is then identical, only row order differs).
+    # "yxz" = fast path with rows in the sparse middles' bitmap rank
+    # order (pair with the middles' pre_ranked=True to skip their res0
+    # argsort + row reorder); overflow drop is a scan-line prefix — only
+    # for configs whose cap does not saturate (see _sort_key).
     order: str = "appearance"
     # fuse_mean: emit per-voxel feature MEANS (max_voxels, C) directly —
     # no (V, T, C) buffer — for mean readers (VoxelFeatureExtractorV3).
@@ -333,6 +361,7 @@ class VoxelGenerator:
                 grid_size=self.grid_size,
                 max_voxels=int(self.max_voxels),
                 max_points=int(self.max_num_points),
+                order="yxz" if self.order == "yxz" else "hashed",
             )
         return voxelize(
             points, num_points,

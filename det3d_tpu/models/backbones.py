@@ -146,6 +146,21 @@ class SparseBasicBlock(nn.Module):
 _SORT_FREE_TRANSITION = True
 
 
+def _res0_lookup(voxel_features, coords, shape0, pre_ranked):
+    """Rank-order the res0 rows and build their lookup.
+
+    ``pre_ranked`` asserts the voxelizer already emitted rows in yxz rank
+    order (VoxelGenerator order="yxz", wired by apis.train.build_stack),
+    so the argsort + row reorder is skipped and only the bitmap is built.
+    Returns (features, coords, lookup)."""
+    if pre_ranked and shape0[0] <= 64:
+        return (voxel_features, coords,
+                ("bitmap", sp.build_bitmap_batch(coords, shape0)))
+    order0, co, lookup0 = sp.stage_lookup_batch(coords, shape0)
+    x = jnp.take_along_axis(voxel_features, order0[..., None], axis=1)
+    return x, co, lookup0
+
+
 def _stage_rulebooks(coords, shape, down_kernel, down_stride, down_pad,
                      max_out=None, in_lookup=None, build_subm=True,
                      build_inverse=False):
@@ -356,6 +371,7 @@ class SpMiddleFHD(nn.Module):
     dense_tail: bool = True
     dense_from: int = 3
     precision: str = "fp32"   # "bf16": half-width gathers/GEMMs, fp32 BN
+    pre_ranked: bool = False  # rows already yxz-ranked (see _res0_lookup)
     name_str: str = "SpMiddleFHD"
 
     @nn.compact
@@ -378,8 +394,8 @@ class SpMiddleFHD(nn.Module):
                                use_norm=self.use_norm,
                                precision=self.precision, **kw)
 
-        order0, coords, lookup0 = sp.stage_lookup_batch(coords, shape0)
-        x = jnp.take_along_axis(voxel_features, order0[..., None], axis=1)
+        x, coords, lookup0 = _res0_lookup(voxel_features, coords, shape0,
+                                          self.pre_ranked)
         sidx0, smask0 = sp.subm_window_rulebook_batch(coords, shape0, 3,
                                                       lookup0)
         valid0 = coords[:, :, 0] >= 0
@@ -449,6 +465,7 @@ class SpMiddleResNetFHD(nn.Module):
     dense_tail: bool = True                              # see SpMiddleFHD
     dense_from: int = 3
     precision: str = "fp32"                              # see SpMiddleFHD
+    pre_ranked: bool = False                             # see _res0_lookup
     name_str: str = "SpMiddleResNetFHD"
 
     @nn.compact
@@ -461,8 +478,8 @@ class SpMiddleResNetFHD(nn.Module):
         caps = [max(64, int(v * f)) for f in self.stage_caps]
         start = max(1, self.dense_from) if self.dense_tail else 4
 
-        order0, coords, lookup0 = sp.stage_lookup_batch(coords, shape0)
-        x = jnp.take_along_axis(voxel_features, order0[..., None], axis=1)
+        x, coords, lookup0 = _res0_lookup(voxel_features, coords, shape0,
+                                          self.pre_ranked)
         sidx0, smask0 = sp.subm_window_rulebook_batch(coords, shape0, 3,
                                                       lookup0)
         valid0 = coords[:, :, 0] >= 0
@@ -542,6 +559,7 @@ class SpMiddleFHDNobn(nn.Module):
     axis_name: Optional[str] = None
     ds_factor: int = 8
     stage_caps: Sequence[float] = (1.0, 1.0, 1.0, 1.0)
+    pre_ranked: bool = False
     name_str: str = "SpMiddleFHDNobn"
 
     @nn.compact
@@ -551,6 +569,7 @@ class SpMiddleFHDNobn(nn.Module):
                            norm_cfg=self.norm_cfg, axis_name=self.axis_name,
                            ds_factor=self.ds_factor,
                            stage_caps=tuple(self.stage_caps),
+                           pre_ranked=self.pre_ranked,
                            use_norm=False)(voxel_features, coords,
                                            input_shape, train)
 
@@ -570,6 +589,7 @@ class RCNNSpMiddleFHD(nn.Module):
     axis_name: Optional[str] = None
     ds_factor: int = 8
     stage_caps: Sequence[float] = (1.0, 1.0, 1.0, 1.0)
+    pre_ranked: bool = False                             # see _res0_lookup
     name_str: str = "RCNNSpMiddleFHD"
 
     @nn.compact
@@ -581,8 +601,8 @@ class RCNNSpMiddleFHD(nn.Module):
         v = coords.shape[1]
         caps = [max(64, int(v * f)) for f in self.stage_caps]
 
-        order0, coords, lookup0 = sp.stage_lookup_batch(coords, shape0)
-        x = jnp.take_along_axis(voxel_features, order0[..., None], axis=1)
+        x, coords, lookup0 = _res0_lookup(voxel_features, coords, shape0,
+                                          self.pre_ranked)
         sidx0, smask0 = sp.subm_window_rulebook_batch(coords, shape0, 3, lookup0)
         valid0 = coords[:, :, 0] >= 0
         x = SparseConvBN(16, cfg, ax)(x, sidx0, smask0, valid0, train, z_taps=sp.center_column_taps(3))

@@ -134,3 +134,68 @@ def test_second_trains_and_detects(stack, rng):
     for g in gt:
         d = np.linalg.norm(boxes[:, :2] - g[:2], axis=1).min()
         assert d < 1.5, (d, g[:2], boxes[:, :2])
+
+
+def test_pre_ranked_yxz_matches_sorted_path(rng):
+    """VoxelGenerator(order="yxz") + SpMiddleFHD(pre_ranked=True) must
+    produce bit-identical predictions to the hashed voxelizer + in-middle
+    argsort: the middle re-sorts to exactly the order the yxz voxelizer
+    emits. (Holds when max_voxels does not overflow — under overflow the
+    two orders keep different voxel subsets by design, which is why
+    "yxz" is reserved for non-saturating configs.)"""
+    batch = _scene(rng)
+    points = jnp.asarray(batch["points"])
+    num_points = jnp.asarray(batch["num_points"])
+
+    outs = []
+    for order, pre in [("hashed", False), ("yxz", True)]:
+        voxel_gen = VoxelGenerator(voxel_size=VOXEL_SIZE,
+                                   point_cloud_range=PC_RANGE,
+                                   max_num_points=5, max_voxels=1024,
+                                   order=order)
+        model_cfg = dict(
+            type="VoxelNet",
+            reader=dict(type="VoxelFeatureExtractorV3",
+                        num_input_features=4),
+            backbone=dict(type="SpMiddleFHD", num_input_features=4,
+                          pre_ranked=pre),
+            neck=dict(type="RPN", layer_nums=[2], ds_layer_strides=[1],
+                      ds_num_filters=[64], us_layer_strides=[1],
+                      us_num_filters=[64], num_input_features=128),
+            bbox_head=dict(
+                type="MultiGroupHead", mode="3d", in_channels=64,
+                tasks=[dict(num_class=1, class_names=["Car"])],
+                weights=[1],
+                box_coder=dict(type="ground_box3d_coder", n_dim=7,
+                               linear_dim=False,
+                               encode_angle_vector=False),
+                encode_background_as_zeros=True,
+                loss_norm=dict(type="NormByNumPositives",
+                               pos_cls_weight=1.0, neg_cls_weight=1.0),
+                loss_cls=dict(type="SigmoidFocalLoss", alpha=0.25,
+                              gamma=2.0, loss_weight=1.0),
+                loss_bbox=dict(type="WeightedSmoothL1Loss", sigma=3.0,
+                               codewise=True, loss_weight=2.0),
+                encode_rad_error_by_sin=True,
+                loss_aux=dict(type="WeightedSoftmaxClassificationLoss",
+                              name="direction_classifier",
+                              loss_weight=0.2),
+                direction_offset=0.0,
+            ),
+        )
+        model = build_detector(model_cfg, grid_size=voxel_gen.grid_size)
+        vox = voxel_gen.generate_batch(points, num_points)
+        variables = jax.jit(
+            model.init, static_argnames=("train",))(
+            jax.random.PRNGKey(0), vox["voxels"],
+            vox["num_points_per_voxel"], vox["coords"], train=False)
+        preds = jax.jit(lambda v, n, c: model.apply(
+            variables, v, n, c, train=False))(
+            vox["voxels"], vox["num_points_per_voxel"], vox["coords"])
+        outs.append(preds)
+
+    a, b = outs
+    la, lb = jax.tree_util.tree_leaves(a), jax.tree_util.tree_leaves(b)
+    assert len(la) == len(lb)
+    for xa, xb in zip(la, lb):
+        np.testing.assert_array_equal(np.asarray(xa), np.asarray(xb))

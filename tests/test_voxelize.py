@@ -244,3 +244,54 @@ def test_voxelize_mean_overflow(rng):
                                   np.asarray(b["coords"]))
     np.testing.assert_array_equal(np.asarray(a["num_points_per_voxel"]),
                                   np.asarray(b["num_points_per_voxel"]))
+
+
+def test_voxelize_yxz_order(rng):
+    """order="yxz" emits the same voxel set/contents as hashed, with rows
+    in (y, x, z) rank order — the sparse middles' bitmap row contract —
+    in both the buffer and fused-mean paths."""
+    pc_range = [0, -10, -3, 20, 10, 1]
+    voxel_size = [0.5, 0.5, 1.0]
+    n = 500
+    pts = np.zeros((n, 4), np.float32)
+    pts[:, 0] = rng.uniform(-2, 22, n)
+    pts[:, 1] = rng.uniform(-12, 12, n)
+    pts[:, 2] = rng.uniform(-4, 2, n)
+    pts[:, 3] = rng.uniform(0, 1, n)
+
+    kw = dict(voxel_size=voxel_size, point_cloud_range=pc_range,
+              max_num_points=8, max_voxels=2000)
+    ref = VoxelGenerator(order="hashed", **kw).generate(pts, np.int32(n))
+    gen = VoxelGenerator(order="yxz", **kw)
+    out = gen.generate(pts, np.int32(n))
+    nv = int(ref["num_voxels"])
+    assert int(out["num_voxels"]) == nv
+
+    co = np.asarray(out["coords"])[:nv]              # zyx rows
+    grid = gen.grid_size                             # (gx, gy, gz)
+    rank_key = (co[:, 1] * grid[0] + co[:, 2]) * grid[2] + co[:, 0]
+    assert (np.diff(rank_key) > 0).all()             # strict yxz order
+
+    rc = np.asarray(ref["coords"])[:nv]
+    r_key = (rc[:, 1] * grid[0] + rc[:, 2]) * grid[2] + rc[:, 0]
+    perm = np.argsort(r_key)
+    np.testing.assert_array_equal(co, rc[perm])
+    np.testing.assert_allclose(np.asarray(out["voxels"])[:nv],
+                               np.asarray(ref["voxels"])[:nv][perm], atol=0)
+
+    # fused-mean path: same rank order, same per-voxel means
+    mref = VoxelGenerator(order="hashed", fuse_mean=True,
+                          **kw).generate(pts, np.int32(n))
+    mout = VoxelGenerator(order="yxz", fuse_mean=True,
+                          **kw).generate(pts, np.int32(n))
+    assert int(mout["num_voxels"]) == nv
+    mco = np.asarray(mout["coords"])[:nv]
+    mkey = (mco[:, 1] * grid[0] + mco[:, 2]) * grid[2] + mco[:, 0]
+    assert (np.diff(mkey) > 0).all()
+    mrc = np.asarray(mref["coords"])[:nv]
+    mperm = np.argsort((mrc[:, 1] * grid[0] + mrc[:, 2]) * grid[2]
+                       + mrc[:, 0])
+    np.testing.assert_array_equal(mco, mrc[mperm])
+    np.testing.assert_allclose(np.asarray(mout["voxels"])[:nv],
+                               np.asarray(mref["voxels"])[:nv][mperm],
+                               rtol=1e-6, atol=1e-6)
