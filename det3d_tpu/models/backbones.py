@@ -192,10 +192,15 @@ def _stage_rulebooks(coords, shape, down_kernel, down_stride, down_pad,
 
     oshape = sp.out_spatial_shape(shape, down_kernel, down_stride, down_pad)
     need_lookup = build_subm or build_inverse
+    dinv = None
     if need_lookup and _SORT_FREE_TRANSITION and oshape[0] <= 32:
-        # fused sort-free transition: positions + bitmap in one pass
-        out_co, oshape, out_lookup = sp.stage_transition_batch(
-            coords, shape, down_kernel, down_stride, down_pad, max_out)
+        # fused sort-free transition: positions + bitmap (+ inverse
+        # rulebook, from the same candidate words) in one pass
+        res = sp.stage_transition_batch(
+            coords, shape, down_kernel, down_stride, down_pad, max_out,
+            build_inverse=build_inverse)
+        out_co, oshape, out_lookup = res[:3]
+        dinv = res[3] if len(res) > 3 else None
     else:
         out_co, _ = jax.vmap(
             lambda co: sp.conv_out_coords(co, shape, down_kernel,
@@ -214,9 +219,9 @@ def _stage_rulebooks(coords, shape, down_kernel, down_stride, down_pad,
     didx, dmask = sp.conv_window_rulebook_batch(shape, out_co, down_kernel,
                                                 down_stride, down_pad,
                                                 in_lookup)
-    dinv = (sp.strided_inverse_rulebook_batch(
-        coords, down_kernel, down_stride, down_pad, out_lookup, oshape)
-        if build_inverse else None)
+    if build_inverse and dinv is None:
+        dinv = sp.strided_inverse_rulebook_batch(
+            coords, down_kernel, down_stride, down_pad, out_lookup, oshape)
     return out_co, didx, dmask, sidx, smask, oshape, out_lookup, dinv
 
 

@@ -257,23 +257,23 @@ def _down_candidates(coords, shape, kernel, stride, padding, oshape):
     oy (V, 1, ncy, 1), ox (V, 1, 1, ncx), ok (V, ncz, ncy, ncx)."""
     k, s, p = (_as3(v) for v in (kernel, stride, padding))
     ncand = tuple(-(-k[d] // s[d]) for d in range(3))       # ceil(k/s)
-    cand, valid = [], []
+    cand, valid, bounds = [], [], []
     for d in range(3):
         pd = coords[:, d]
         base = (pd + p[d]) // s[d]
         i = jnp.arange(ncand[d], dtype=jnp.int32)
         o = base[:, None] - i[None, :]                      # (V, ncand_d)
         j = pd[:, None] + p[d] - o * s[d]                   # tap index
-        ok = (o >= 0) & (o < oshape[d]) & (j >= 0) & (j < k[d]) \
-            & (pd >= 0)[:, None]
+        okb = (o >= 0) & (o < oshape[d]) & (pd >= 0)[:, None]
         cand.append(o)
-        valid.append(ok)
+        bounds.append(okb)
+        valid.append(okb & (j >= 0) & (j < k[d]))
     oz = cand[0][:, :, None, None]
     oy = cand[1][:, None, :, None]
     ox = cand[2][:, None, None, :]
     ok = (valid[0][:, :, None, None] & valid[1][:, None, :, None]
           & valid[2][:, None, None, :])
-    return oz, oy, ox, ok
+    return oz, oy, ox, ok, tuple(bounds)
 
 
 def conv_out_coords(coords, shape, kernel, stride, padding, max_out):
@@ -288,7 +288,7 @@ def conv_out_coords(coords, shape, kernel, stride, padding, max_out):
     """
     k, s, p = _as3(kernel), _as3(stride), _as3(padding)
     oshape = out_spatial_shape(shape, k, s, p)
-    oz, oy, ox, ok = _down_candidates(coords, shape, k, s, p, oshape)
+    oz, oy, ox, ok, _ = _down_candidates(coords, shape, k, s, p, oshape)
     lin = (oz * oshape[1] + oy) * oshape[2] + ox            # (V, nz, ny, nx)
     lin = jnp.where(ok, lin, _SENTINEL).reshape(-1)
 
@@ -1207,7 +1207,7 @@ def stage_lookup_batch(coords, shape):
 
 
 def stage_transition_batch(coords, shape, kernel, stride, padding,
-                           max_out):
+                           max_out, build_inverse=False):
     """Sort-free downsample transition: the strided conv's output
     position set (yxz rank order, -1 padded) PLUS the new resolution's
     interleaved bitmap, via dense-grid cumsum ranks.
@@ -1223,20 +1223,35 @@ def stage_transition_batch(coords, shape, kernel, stride, padding,
     OUTPUT grid. Requires output depth <= 32 (all post-downsample lidar
     grids); callers fall back to the sort path otherwise.
 
-    Returns (out_coords (B, max_out, 3) zyx, ("bitmap", tables))."""
+    ``build_inverse`` additionally derives the down conv's inverse
+    rulebook (identical to sp.strided_inverse_rulebook_batch) from the
+    SAME per-candidate words — the transition's candidate set (o_d =
+    obase_d - c_d) IS the inverse rulebook's candidate set, so no second
+    query pass over the new bitmap is needed.
+
+    Returns (out_coords (B, max_out, 3) zyx, oshape, ("bitmap", tables)
+    [, inverse])."""
     k, s, p = (_as3(v) for v in (kernel, stride, padding))
     oshape = out_spatial_shape(shape, k, s, p)
     do, ho, wo = oshape
     if do > 32:
         raise ValueError(f"stage_transition_batch needs depth <= 32, "
                          f"got {do}")
+    ncand = tuple(-(-k[d] // s[d]) for d in range(3))
+    if build_inverse and max(ncand) > 2:
+        build_inverse = False
     ncells = do * ho * wo
 
     def one(co):
-        oz, oy, ox, ok = _down_candidates(co, shape, k, s, p, oshape)
+        oz, oy, ox, ok, (bz, by, bx) = _down_candidates(co, shape, k, s,
+                                                        p, oshape)
         lin = ((oz * ho + oy) * wo + ox)
         lin = jnp.broadcast_to(lin, ok.shape).reshape(-1)
         okf = ok.reshape(-1)
+        okb_yx = jnp.broadcast_to(
+            by[:, None, :, None] & bx[:, None, None, :], ok.shape)
+        okbf = (okb_yx & bz[:, :, None, None]).reshape(-1)
+        okb_yxf = okb_yx.reshape(-1)
         occ = jnp.zeros((ncells,), jnp.int32).at[
             jnp.where(okf, lin, ncells)].max(1, mode="drop")
         # low-z prefix under the cap: zyx cell order IS ascending z major
@@ -1254,20 +1269,43 @@ def stage_transition_batch(coords, shape, kernel, stride, padding,
         table = jnp.pad(table,
                         ((_BM_PAD_FRONT, _BM_PAD_END), (0, 0))).reshape(-1)
 
-        # per-candidate yxz rank (same arithmetic the rulebooks use)
-        col = jnp.where(okf,
+        # per-candidate yxz rank (same arithmetic the rulebooks use);
+        # bounds-only masking — raw bitmap presence drives both the coord
+        # scatter and the inverse rulebook's window-row routing (tap
+        # parity is a SEPARATE mask, applied by the backward via par)
+        col = jnp.where(okb_yxf,
                         (jnp.broadcast_to(oy, ok.shape).reshape(-1) * wo
                          + jnp.broadcast_to(ox, ok.shape).reshape(-1)), 0)
         zc = jnp.clip(jnp.broadcast_to(oz, ok.shape).reshape(-1),
                       0, 31).astype(jnp.uint32)
         bw = bits[col]
-        kept_c = okf & (((bw >> zc) & jnp.uint32(1)) != 0)
+        kept_c = okbf & (((bw >> zc) & jnp.uint32(1)) != 0)
         rank = base[col] + jax.lax.population_count(
             bw & ((jnp.uint32(1) << zc) - jnp.uint32(1))).astype(jnp.int32)
         out_lin = jnp.full((max_out,), _SENTINEL, jnp.int32).at[
             jnp.where(kept_c, rank, max_out)].set(
                 jnp.where(kept_c, lin, _SENTINEL), mode="drop")
-        return delinearize(out_lin, oshape), table
+        out = delinearize(out_lin, oshape)
+        if not build_inverse:
+            return out, table
+        # inverse rulebook from the same words: candidate index c_d maps
+        # to the (ncz, ncy, ncx) enumeration axes directly; the window
+        # base is the rank of the lowest-z candidate (c_z = ncz - 1)
+        v = co.shape[0]
+        ncz, ncy, ncx = ncand
+        r0i = rank.reshape(v, ncz, ncy * ncx)[:, ncz - 1]   # (V, Kc)
+        # candidate axis is c_z (descending z); window taps ascend from
+        # z0 = obase_z - (ncz-1), so tap j = candidate ncz-1-j
+        presi = kept_c.reshape(v, ncz, ncy * ncx).transpose(0, 2, 1)[
+            :, :, ::-1]
+        return out, table, r0i, presi
 
-    out_co, tables = jax.lax.map(one, coords)
-    return out_co, oshape, ("bitmap", tables)
+    if not build_inverse:
+        out_co, tables = jax.lax.map(one, coords)
+        return out_co, oshape, ("bitmap", tables)
+    out_co, tables, r0i, presi = jax.lax.map(one, coords)
+    par = (coords + jnp.asarray(p, jnp.int32)[None, None]) \
+        % jnp.asarray(s, jnp.int32)[None, None]
+    presi = presi & (coords[:, :, 0] >= 0)[:, :, None, None]
+    inverse = (r0i, presi, par, (k, s, ncand))
+    return out_co, oshape, ("bitmap", tables), inverse

@@ -459,11 +459,24 @@ def test_stage_transition_matches_sort_path(rng, max_out):
         oc_ref, _ = jax.vmap(lambda c: sp.conv_out_coords(
             c, SHAPE, kernel, stride, pad, max_out))(coords)
         _, oc_ref, lk_ref = sp.stage_lookup_batch(oc_ref, oshape)
-        oc_new, oshape2, lk_new = sp.stage_transition_batch(
-            coords, SHAPE, kernel, stride, pad, max_out)
+        oc_new, oshape2, lk_new, inv_new = sp.stage_transition_batch(
+            coords, SHAPE, kernel, stride, pad, max_out,
+            build_inverse=True)
         assert oshape2 == oshape
         assert lk_ref[0] == "bitmap" and lk_new[0] == "bitmap"
         np.testing.assert_array_equal(np.asarray(oc_new),
                                       np.asarray(oc_ref)), (kernel, max_out)
         np.testing.assert_array_equal(np.asarray(lk_new[1]),
                                       np.asarray(lk_ref[1]))
+
+        inv_ref = sp.strided_inverse_rulebook_batch(
+            coords, kernel, stride, pad, lk_ref, oshape)
+        assert inv_ref is not None and inv_new is not None
+        np.testing.assert_array_equal(np.asarray(inv_new[1]),
+                                      np.asarray(inv_ref[1]))   # presi
+        np.testing.assert_array_equal(
+            np.asarray(inv_new[0]) * np.asarray(inv_new[1]).any(-1),
+            np.asarray(inv_ref[0]) * np.asarray(inv_ref[1]).any(-1))
+        np.testing.assert_array_equal(np.asarray(inv_new[2]),
+                                      np.asarray(inv_ref[2]))   # par
+        assert inv_new[3] == inv_ref[3]
