@@ -193,14 +193,19 @@ def _stage_rulebooks(coords, shape, down_kernel, down_stride, down_pad,
     oshape = sp.out_spatial_shape(shape, down_kernel, down_stride, down_pad)
     need_lookup = build_subm or build_inverse
     dinv = None
-    if need_lookup and _SORT_FREE_TRANSITION and oshape[0] <= 32:
+    if _SORT_FREE_TRANSITION and oshape[0] <= 32:
         # fused sort-free transition: positions + bitmap (+ inverse
-        # rulebook, from the same candidate words) in one pass
+        # rulebook, from the same candidate words) in one pass; even
+        # when no lookup is needed (dense-tail transition at predict)
+        # it replaces the 8V-candidate dedup sort, and every consumer
+        # of the rows is order-agnostic
         res = sp.stage_transition_batch(
             coords, shape, down_kernel, down_stride, down_pad, max_out,
             build_inverse=build_inverse)
         out_co, oshape, out_lookup = res[:3]
         dinv = res[3] if len(res) > 3 else None
+        if not need_lookup:
+            out_lookup = None
     else:
         out_co, _ = jax.vmap(
             lambda co: sp.conv_out_coords(co, shape, down_kernel,
