@@ -480,3 +480,27 @@ def test_stage_transition_matches_sort_path(rng, max_out):
         np.testing.assert_array_equal(np.asarray(inv_new[2]),
                                       np.asarray(inv_ref[2]))   # par
         assert inv_new[3] == inv_ref[3]
+
+
+def test_empty_cloud_through_middle():
+    """Zero active voxels (all padding rows) must flow through the
+    transition, rulebooks, and a full middle forward without NaN/Inf —
+    the degenerate first batch a dataloader can emit."""
+    coords = jnp.full((2, 32, 3), -1, jnp.int32)
+    feats = jnp.zeros((2, 32, 4), jnp.float32)
+
+    oc, oshape, lk, inv = sp.stage_transition_batch(
+        coords, SHAPE, 3, 2, 1, 32, build_inverse=True)
+    assert (np.asarray(oc) == -1).all()
+    r0, pres = sp.subm_window_rulebook_batch(
+        jnp.take_along_axis(coords, jax.vmap(
+            lambda c: sp.yxz_order(c, SHAPE))(coords)[..., None], axis=1),
+        SHAPE, 3, ("bitmap", sp.build_bitmap_batch(coords, SHAPE)))
+    assert not np.asarray(pres).any()
+
+    from det3d_tpu.models.backbones import SpMiddleFHD
+    m = SpMiddleFHD(num_input_features=4)
+    grid = (16, 16, 40)                        # (nx, ny, nz), z like KITTI
+    vars_ = m.init(jax.random.PRNGKey(0), feats, coords, grid, train=False)
+    out = m.apply(vars_, feats, coords, grid, train=False)
+    assert np.isfinite(np.asarray(out)).all()
