@@ -33,11 +33,49 @@ from det3d_tpu.runtime.trainer import Trainer
 from det3d_tpu.solver import build_optimizer
 from det3d_tpu.solver.schedules import build_lr_schedule
 
-BATCH_KEYS = ("points", "num_points", "gt_boxes", "gt_classes", "gt_valid")
+BATCH_KEYS = ("points", "num_points", "gt_boxes", "gt_classes", "gt_valid",
+              "point_lin")
 
 
 def batch_to_device(batch: Dict[str, Any]) -> Dict[str, jnp.ndarray]:
-    return {k: jnp.asarray(v) for k, v in batch.items() if k in BATCH_KEYS}
+    return {k: jnp.asarray(v) for k, v in batch.items()
+            if k in BATCH_KEYS or k.startswith("plan_")}
+
+
+def inject_host_plan(cfg, model, voxel_gen, split: str = "train",
+                     train: bool = True) -> bool:
+    """Append the HostPlan pipeline stage to a split's pipeline when the
+    model's sparse middle can consume host-precomputed rulebooks.
+
+    Loader workers then build every rulebook on the CPU (ops/sparse_host.py)
+    and the device step skips the whole chain. Opt out with
+    ``host_plan = False`` in the config. Mutates cfg's pipeline in place;
+    returns True when injected (or already present)."""
+    from det3d_tpu.models.backbones import middle_plan_spec
+
+    if not cfg.get("host_plan", True):
+        return False
+    backbone = getattr(model, "backbone", None)
+    if backbone is None or "SpMiddle" not in type(backbone).__name__:
+        return False
+    if voxel_gen.effective_order not in ("hashed", "yxz"):
+        return False  # the appearance voxel ordering has no host twin
+    pipeline = cfg["data"][split].get("pipeline")
+    if not pipeline or any(
+            (p.get("type") if isinstance(p, dict) else "") == "HostPlan"
+            for p in pipeline):
+        return bool(pipeline)
+    spec = middle_plan_spec(backbone, voxel_gen.grid_size,
+                            voxel_gen.max_voxels)
+    pipeline.append(dict(
+        type="HostPlan",
+        voxel=dict(voxel_size=tuple(voxel_gen.voxel_size),
+                   pc_range=tuple(voxel_gen.point_cloud_range),
+                   grid_size=tuple(voxel_gen.grid_size),
+                   max_voxels=int(voxel_gen.max_voxels),
+                   order=voxel_gen.effective_order),
+        spec=spec, train=train))
+    return True
 
 
 def build_stack(cfg):
@@ -122,6 +160,7 @@ def train_detector(cfg, work_dir: Optional[str] = None,
     model, voxel_gen, assigners, class_ids, test_cfg = build_stack(cfg)
 
     data_cfg = cfg["data"]
+    inject_host_plan(cfg, model, voxel_gen)
     train_ds = build_dataset(data_cfg["train"])
     samples_per_gpu = data_cfg.get("samples_per_gpu", 2)
     n_dev = len(jax.devices())
@@ -204,6 +243,13 @@ def eval_detector(cfg, state, work_dir: Optional[str] = None,
 
     model, voxel_gen, assigners, class_ids, test_cfg = build_stack(cfg)
     data_cfg = cfg["data"]
+    # host rulebook plans accelerate eval predicts too — except under
+    # double-flip TTA, where the step flips the points internally
+    tta = bool((test_cfg or {}).get("double_flip", False)
+               if isinstance(test_cfg, dict)
+               else getattr(test_cfg, "double_flip", False))
+    if not tta:
+        inject_host_plan(cfg, model, voxel_gen, split=split, train=False)
     ds = build_dataset(data_cfg[split])
     batch_size = data_cfg.get("samples_per_gpu", 2)
 

@@ -40,7 +40,8 @@ _SENTINEL = np.iinfo(np.int32).max
                                    "max_voxels", "max_points", "order"))
 def voxelize(points, num_points, *, voxel_size: Tuple[float, ...],
              pc_range: Tuple[float, ...], grid_size: Tuple[int, int, int],
-             max_voxels: int, max_points: int, order: str = "appearance"):
+             max_voxels: int, max_points: int, order: str = "appearance",
+             lin=None):
     """Voxelize one padded point cloud.
 
     points: (P, C) float32, first 3 channels are xyz; rows >= num_points are
@@ -67,22 +68,14 @@ def voxelize(points, num_points, *, voxel_size: Tuple[float, ...],
     """
     P, C = points.shape
     gx, gy, gz = grid_size
-    vsize = jnp.asarray(voxel_size, points.dtype)
-    vmin = jnp.asarray(pc_range[:3], points.dtype)
 
-    idx = jnp.arange(P, dtype=jnp.int32)
-    valid = idx < num_points
-
-    coords_f = jnp.floor((points[:, :3] - vmin) / vsize)
-    coords = coords_f.astype(jnp.int32)                      # (P, 3) xyz
-    in_range = (
-        valid
-        & (coords[:, 0] >= 0) & (coords[:, 0] < gx)
-        & (coords[:, 1] >= 0) & (coords[:, 1] < gy)
-        & (coords[:, 2] >= 0) & (coords[:, 2] < gz)
-    )
-    lin = coords[:, 0] + coords[:, 1] * gx + coords[:, 2] * (gx * gy)
-    lin = jnp.where(in_range, lin, _SENTINEL)
+    if lin is None:
+        lin = _quantize(points, num_points, voxel_size, pc_range, grid_size)
+    # ``lin`` override: host-precomputed ids (ops/sparse_host.py::point_lin)
+    # — the single source of truth when a host rulebook plan rides along, so
+    # host and device can never disagree on a float rounding at a voxel
+    # boundary. The host quantizes only valid in-range points (sentinel
+    # elsewhere), exactly like _quantize.
 
     if order in ("hashed", "yxz"):
         return _voxelize_hashed(points, lin, (gx, gy, gz), max_voxels,
@@ -121,7 +114,10 @@ def voxelize(points, num_points, *, voxel_size: Tuple[float, ...],
         write.astype(jnp.int32), mode="drop")
 
     head_write = head & (slot_v < max_voxels)
-    coords_zyx = coords[:, ::-1][order]                      # (P, 3) zyx sorted
+    safe_lin = jnp.where(slin != _SENTINEL, slin, 0)
+    coords_zyx = jnp.stack([safe_lin // (gx * gy),
+                            (safe_lin // gx) % gy,
+                            safe_lin % gx], axis=-1)         # (P, 3) zyx sorted
     out_coords = jnp.full((max_voxels, 3), -1, jnp.int32).at[
         jnp.where(head_write, slot_v, max_voxels)].set(coords_zyx, mode="drop")
 
@@ -132,6 +128,25 @@ def voxelize(points, num_points, *, voxel_size: Tuple[float, ...],
         "num_points_per_voxel": num_per_voxel,
         "num_voxels": num_voxels,
     }
+
+
+def _quantize(points, num_points, voxel_size, pc_range, grid_size):
+    """Points -> xyz-major linear voxel ids (sentinel: padding/out of range).
+    Host twin: ops/sparse_host.py::point_lin."""
+    P = points.shape[0]
+    gx, gy, gz = grid_size
+    vsize = jnp.asarray(voxel_size, points.dtype)
+    vmin = jnp.asarray(pc_range[:3], points.dtype)
+    valid = jnp.arange(P, dtype=jnp.int32) < num_points
+    coords = jnp.floor((points[:, :3] - vmin) / vsize).astype(jnp.int32)
+    in_range = (
+        valid
+        & (coords[:, 0] >= 0) & (coords[:, 0] < gx)
+        & (coords[:, 1] >= 0) & (coords[:, 1] < gy)
+        & (coords[:, 2] >= 0) & (coords[:, 2] < gz)
+    )
+    lin = coords[:, 0] + coords[:, 1] * gx + coords[:, 2] * (gx * gy)
+    return jnp.where(in_range, lin, _SENTINEL)
 
 
 def _mix32(x):
@@ -239,7 +254,7 @@ def _voxelize_hashed(points, lin, grid_size, max_voxels, max_points,
                                    "max_voxels", "max_points", "order"))
 def voxelize_mean(points, num_points, *, voxel_size, pc_range,
                   grid_size, max_voxels: int, max_points: int,
-                  order: str = "hashed"):
+                  order: str = "hashed", lin=None):
     """Fused voxelize + mean-VFE: per-voxel feature means with NO padded
     (V, T, C) buffer.
 
@@ -258,20 +273,9 @@ def voxelize_mean(points, num_points, *, voxel_size, pc_range,
     """
     P, C = points.shape
     gx, gy, gz = grid_size
-    vsize = jnp.asarray(voxel_size, points.dtype)
-    vmin = jnp.asarray(pc_range[:3], points.dtype)
 
-    idx = jnp.arange(P, dtype=jnp.int32)
-    valid = idx < num_points
-    coords = jnp.floor((points[:, :3] - vmin) / vsize).astype(jnp.int32)
-    in_range = (
-        valid
-        & (coords[:, 0] >= 0) & (coords[:, 0] < gx)
-        & (coords[:, 1] >= 0) & (coords[:, 1] < gy)
-        & (coords[:, 2] >= 0) & (coords[:, 2] < gz)
-    )
-    lin = coords[:, 0] + coords[:, 1] * gx + coords[:, 2] * (gx * gy)
-    lin = jnp.where(in_range, lin, _SENTINEL)
+    if lin is None:
+        lin = _quantize(points, num_points, voxel_size, pc_range, grid_size)
 
     pos = jnp.arange(P, dtype=jnp.int32)
     key = _sort_key(lin, grid_size, order)
@@ -346,13 +350,24 @@ class VoxelGenerator:
     fuse_mean: bool = False
 
     @property
+    def effective_order(self) -> str:
+        """Voxel row order actually produced: the fused-mean path always
+        runs a fast keyed sort ("yxz" or "hashed"), whatever ``order``
+        says. Host rulebook plans key off this."""
+        if self.fuse_mean:
+            return "yxz" if self.order == "yxz" else "hashed"
+        return self.order
+
+    @property
     def grid_size(self) -> Tuple[int, int, int]:
         vs = np.asarray(self.voxel_size, np.float64)
         rng = np.asarray(self.point_cloud_range, np.float64)
         g = np.round((rng[3:] - rng[:3]) / vs).astype(np.int64)
         return tuple(int(v) for v in g)
 
-    def generate(self, points, num_points):
+    def generate(self, points, num_points, lin=None):
+        """``lin``: optional host-precomputed per-point linear voxel ids
+        (ops/sparse_host.py::point_lin) — see voxelize()'s override note."""
         if self.fuse_mean:
             return voxelize_mean(
                 points, num_points,
@@ -361,7 +376,8 @@ class VoxelGenerator:
                 grid_size=self.grid_size,
                 max_voxels=int(self.max_voxels),
                 max_points=int(self.max_num_points),
-                order="yxz" if self.order == "yxz" else "hashed",
+                order=self.effective_order,
+                lin=lin,
             )
         return voxelize(
             points, num_points,
@@ -371,15 +387,19 @@ class VoxelGenerator:
             max_voxels=int(self.max_voxels),
             max_points=int(self.max_num_points),
             order=self.order,
+            lin=lin,
         )
 
-    def generate_batch(self, points, num_points):
+    def generate_batch(self, points, num_points, lin=None):
         """Batch of (B, P, C) padded clouds. The fused-mean path maps
         per-sample (its P-row scatter-add degrades ~5x under vmap, like
         every batch scatter here); the buffer path vmaps."""
         if self.fuse_mean:
+            if lin is None:
+                return jax.lax.map(lambda a: self.generate(*a),
+                                   (points, num_points))
             return jax.lax.map(lambda a: self.generate(*a),
-                               (points, num_points))
+                               (points, num_points, lin))
         fn = partial(
             voxelize,
             voxel_size=tuple(float(v) for v in self.voxel_size),
@@ -389,4 +409,7 @@ class VoxelGenerator:
             max_points=int(self.max_num_points),
             order=self.order,
         )
-        return jax.vmap(fn)(points, num_points)
+        if lin is None:
+            return jax.vmap(fn)(points, num_points)
+        return jax.vmap(lambda p, n, l: fn(p, n, lin=l))(points, num_points,
+                                                         lin)

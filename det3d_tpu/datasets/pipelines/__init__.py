@@ -1,4 +1,5 @@
 from det3d_tpu.datasets.pipelines.compose import Compose
+from det3d_tpu.datasets.pipelines.host_plan import HostPlan
 from det3d_tpu.datasets.pipelines.loading import (LoadPointCloudAnnotations,
                                                   LoadPointCloudFromFile)
 from det3d_tpu.datasets.pipelines.preprocess import (AssignTarget, Preprocess,
@@ -6,5 +7,5 @@ from det3d_tpu.datasets.pipelines.preprocess import (AssignTarget, Preprocess,
 
 __all__ = [
     "Compose", "LoadPointCloudFromFile", "LoadPointCloudAnnotations",
-    "Preprocess", "Voxelization", "AssignTarget", "Reformat",
+    "Preprocess", "Voxelization", "AssignTarget", "Reformat", "HostPlan",
 ]

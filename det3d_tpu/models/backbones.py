@@ -230,6 +230,116 @@ def _stage_rulebooks(coords, shape, down_kernel, down_stride, down_pad,
     return out_co, didx, dmask, sidx, smask, oshape, out_lookup, dinv
 
 
+# ---------------------------------------------------------------------------
+# Host-precomputed rulebook plans
+# ---------------------------------------------------------------------------
+# Every rulebook in a sparse middle is a pure function of the integer voxel
+# coordinates, which the input pipeline already owns — so a training step
+# can take the whole chain (measured at 71% of the SECOND forward,
+# tools/probes/probe_fwd_attrib) off the device entirely: CPU loader workers
+# build packed rulebooks (ops/sparse_host.py) under the prefetch window and
+# the middles just unpack them (a few VPU shift/mask ops). The device path
+# below stays the default (predict, and any train setup without the
+# pipeline stage); ``build_plan_device`` is its packed mirror, used as the
+# bit-exactness oracle in tests/test_host_plan.py.
+
+# stage geometry shared by every SpMiddle* variant (kernel, stride, padding)
+_STAGE_GEOM = ((3, 2, (1, 1, 1)), (3, 2, (1, 1, 1)), (3, 2, (0, 1, 1)),
+               ((3, 1, 1), (2, 1, 1), (0, 0, 0)))
+
+
+def middle_plan_spec(middle, input_shape, max_voxels):
+    """Static description of the rulebooks a sparse middle consumes.
+
+    ``middle``: the flax middle module OR a config-like object with the
+    same attributes (stage_caps, dense_tail, dense_from, pre_ranked).
+    Returns a plain pickleable dict (fork-safe for loader workers):
+    shape0, v, pre_ranked, stages = (kernel, stride, padding, cap, subm).
+    """
+    def get(name, default):
+        if isinstance(middle, dict):
+            return middle.get(name, default)
+        return getattr(middle, name, default)
+
+    nx, ny, nz = (int(s) for s in input_shape)
+    shape0 = (nz + 1, ny, nx)
+    assert shape0[0] <= 64, "host plans need the bitmap regime (depth <= 64)"
+    v = int(max_voxels)
+    caps = [max(64, int(v * f)) for f in get("stage_caps", (1.0,) * 4)]
+    dense_tail = bool(get("dense_tail", False))
+    start = max(1, int(get("dense_from", 3))) if dense_tail else 4
+    stages = []
+    for i, (k, s, p) in enumerate(_STAGE_GEOM, start=1):
+        if i > start:
+            break
+        stages.append({"kernel": sp._as3(k), "stride": sp._as3(s),
+                       "padding": sp._as3(p), "cap": caps[i - 1],
+                       "subm": i < start})
+    return {"shape0": shape0, "v": v,
+            "pre_ranked": bool(get("pre_ranked", False)),
+            "stages": tuple(stages)}
+
+
+def build_plan_device(coords, spec, train):
+    """Packed rulebook plan built on device — the jittable mirror of
+    ops/sparse_host.py::build_plan (minus point_lin). Used as the host
+    twin's exactness oracle; also handy for serving pipelines that want
+    the packed format without a host stage."""
+    shape0 = tuple(spec["shape0"])
+    plan = {}
+    if spec["pre_ranked"]:
+        co = coords
+        lookup = ("bitmap", sp.build_bitmap_batch(co, shape0))
+    else:
+        order0, co, lookup = sp.stage_lookup_batch(coords, shape0)
+        plan["order0"] = order0
+    plan["s0"] = sp.pack_windows(
+        *sp.subm_window_rulebook_batch(co, shape0, 3, lookup))
+    shape = shape0
+    for i, st in enumerate(spec["stages"], start=1):
+        co, didx, dmask, sidx, smask, shape, lookup, dinv = _stage_rulebooks(
+            co, shape, st["kernel"], st["stride"], st["padding"], st["cap"],
+            lookup, build_subm=st["subm"], build_inverse=train)
+        plan[f"co{i}"] = jax.vmap(lambda c: sp.linearize(c, shape))(co)
+        plan[f"down{i}"] = sp.pack_windows(didx, dmask)
+        if st["subm"]:
+            plan[f"subm{i}"] = sp.pack_windows(sidx, smask)
+        if train and dinv is not None:
+            plan[f"inv{i}"] = sp.pack_inverse(dinv)
+    return plan
+
+
+def _plan_stage(plan, i, in_shape, kernel, stride, padding, build_subm,
+                train):
+    """Unpack stage ``i`` of a packed plan — drop-in for _stage_rulebooks
+    (returned lookup is None: with a plan nothing downstream builds)."""
+    k, s, p = (sp._as3(v) for v in (kernel, stride, padding))
+    oshape = sp.out_spatial_shape(in_shape, k, s, p)
+    co = jax.vmap(lambda l: sp.delinearize(l, oshape))(plan[f"co{i}"])
+    didx, dmask = sp.unpack_windows(plan[f"down{i}"], k[0])
+    sidx = smask = None
+    if build_subm:
+        sidx, smask = sp.unpack_windows(plan[f"subm{i}"], 3)
+    dinv = None
+    if train and f"inv{i}" in plan:
+        ncand = tuple(-(-k[d] // s[d]) for d in range(3))
+        dinv = sp.unpack_inverse(plan[f"inv{i}"], (k, s, ncand))
+    return co, didx, dmask, sidx, smask, oshape, None, dinv
+
+
+def _res0_with_plan(voxel_features, coords, shape0, pre_ranked, plan):
+    """Plan-aware twin of _res0_lookup: the reorder (when needed) comes
+    from the plan's order0; the subm rulebook is unpacked, no lookup is
+    built. Returns (features, coords, sidx0, smask0)."""
+    if not pre_ranked:
+        order0 = plan["order0"]
+        coords = jnp.take_along_axis(coords, order0[..., None], axis=1)
+        voxel_features = jnp.take_along_axis(voxel_features,
+                                             order0[..., None], axis=1)
+    sidx0, smask0 = sp.unpack_windows(plan["s0"], 3)
+    return voxel_features, coords, sidx0, smask0
+
+
 def _bev_reshape(features, coords, shape):
     """Scatter final sparse stage to dense and fold depth into channels.
 
@@ -386,7 +496,7 @@ class SpMiddleFHD(nn.Module):
 
     @nn.compact
     def __call__(self, voxel_features, coords, input_shape,
-                 train: bool = False):
+                 train: bool = False, plan=None):
         nx, ny, nz = (int(s) for s in input_shape)
         shape0 = (nz + 1, ny, nx)
         cfg, ax = self.norm_cfg, self.axis_name
@@ -404,10 +514,23 @@ class SpMiddleFHD(nn.Module):
                                use_norm=self.use_norm,
                                precision=self.precision, **kw)
 
-        x, coords, lookup0 = _res0_lookup(voxel_features, coords, shape0,
-                                          self.pre_ranked)
-        sidx0, smask0 = sp.subm_window_rulebook_batch(coords, shape0, 3,
-                                                      lookup0)
+        def stage(i, co, shape, k, s, p, lk, build_subm):
+            if plan is not None:
+                return _plan_stage(plan, i, shape, k, s, p, build_subm,
+                                   train)
+            return _stage_rulebooks(co, shape, k, s, p, caps[i - 1], lk,
+                                    build_subm=build_subm,
+                                    build_inverse=train)
+
+        if plan is not None:
+            x, coords, sidx0, smask0 = _res0_with_plan(
+                voxel_features, coords, shape0, self.pre_ranked, plan)
+            lookup0 = None
+        else:
+            x, coords, lookup0 = _res0_lookup(voxel_features, coords,
+                                              shape0, self.pre_ranked)
+            sidx0, smask0 = sp.subm_window_rulebook_batch(coords, shape0, 3,
+                                                          lookup0)
         valid0 = coords[:, :, 0] >= 0
         x = SCB(16)(x, sidx0, smask0, valid0, train, z_taps=zt)
         x = SCB(16)(x, sidx0, smask0, valid0, train, z_taps=zt)
@@ -419,18 +542,15 @@ class SpMiddleFHD(nn.Module):
         for i, (ch, n_subm, k, s, p) in enumerate(specs, start=1):
             if i < start:
                 (co, didx, dmask, sidx, smask, shape, lk,
-                 dinv) = _stage_rulebooks(
-                    co, shape, k, s, p, caps[i - 1], lk,
-                    build_inverse=train)
+                 dinv) = stage(i, co, shape, k, s, p, lk, True)
                 valid = co[:, :, 0] >= 0
                 x = SCB(ch)(x, didx, dmask, valid, train, inverse=dinv)
                 for _ in range(n_subm):
                     x = SCB(ch)(x, sidx, smask, valid, train, z_taps=zt)
             elif i == start:
                 # transition: sparse strided conv, then densify this stage
-                co, didx, dmask, _, _, shape, _, dinv = _stage_rulebooks(
-                    co, shape, k, s, p, caps[i - 1], lk, build_subm=False,
-                    build_inverse=train)
+                co, didx, dmask, _, _, shape, _, dinv = stage(
+                    i, co, shape, k, s, p, lk, False)
                 valid = co[:, :, 0] >= 0
                 x = SCB(ch)(x, didx, dmask, valid, train, inverse=dinv)
                 occ = _occupancy(co, shape)
@@ -451,9 +571,8 @@ class SpMiddleFHD(nn.Module):
                      padding=(0, 0, 0))(xd, occ4, train)
             return _fold_depth(xd)
 
-        co4, didx, dmask, _, _, shape4, _, dinv = _stage_rulebooks(
-            co, shape, (3, 1, 1), (2, 1, 1), 0, caps[3], lk,
-            build_subm=False, build_inverse=train)
+        co4, didx, dmask, _, _, shape4, _, dinv = stage(
+            4, co, shape, (3, 1, 1), (2, 1, 1), 0, lk, False)
         valid4 = co4[:, :, 0] >= 0
         x = SCB(64)(x, didx, dmask, valid4, train, inverse=dinv)
 
@@ -480,7 +599,7 @@ class SpMiddleResNetFHD(nn.Module):
 
     @nn.compact
     def __call__(self, voxel_features, coords, input_shape,
-                 train: bool = False):
+                 train: bool = False, plan=None):
         nx, ny, nz = (int(s) for s in input_shape)
         shape0 = (nz + 1, ny, nx)
         cfg, ax = self.norm_cfg, self.axis_name
@@ -488,10 +607,23 @@ class SpMiddleResNetFHD(nn.Module):
         caps = [max(64, int(v * f)) for f in self.stage_caps]
         start = max(1, self.dense_from) if self.dense_tail else 4
 
-        x, coords, lookup0 = _res0_lookup(voxel_features, coords, shape0,
-                                          self.pre_ranked)
-        sidx0, smask0 = sp.subm_window_rulebook_batch(coords, shape0, 3,
-                                                      lookup0)
+        def stage(i, co, shape, k, s, p, lk, build_subm):
+            if plan is not None:
+                return _plan_stage(plan, i, shape, k, s, p, build_subm,
+                                   train)
+            return _stage_rulebooks(co, shape, k, s, p, caps[i - 1], lk,
+                                    build_subm=build_subm,
+                                    build_inverse=train)
+
+        if plan is not None:
+            x, coords, sidx0, smask0 = _res0_with_plan(
+                voxel_features, coords, shape0, self.pre_ranked, plan)
+            lookup0 = None
+        else:
+            x, coords, lookup0 = _res0_lookup(voxel_features, coords,
+                                              shape0, self.pre_ranked)
+            sidx0, smask0 = sp.subm_window_rulebook_batch(coords, shape0, 3,
+                                                          lookup0)
         valid0 = coords[:, :, 0] >= 0
         pr = self.precision
         x = SparseConvBN(16, cfg, ax, precision=pr)(
@@ -508,9 +640,7 @@ class SpMiddleResNetFHD(nn.Module):
         for i, (ch, k, s, p) in enumerate(specs, start=1):
             if i < start:
                 (co, didx, dmask, sidx, smask, shape, lk,
-                 dinv) = _stage_rulebooks(
-                    co, shape, k, s, p, caps[i - 1], lk,
-                    build_inverse=train)
+                 dinv) = stage(i, co, shape, k, s, p, lk, True)
                 valid = co[:, :, 0] >= 0
                 x = SparseConvBN(ch, cfg, ax, precision=pr)(
                     x, didx, dmask, valid, train, inverse=dinv)
@@ -519,9 +649,8 @@ class SpMiddleResNetFHD(nn.Module):
                 x = SparseBasicBlock(ch, cfg, ax, precision=pr)(
                     x, sidx, smask, valid, train)
             elif i == start:
-                co, didx, dmask, _, _, shape, _, dinv = _stage_rulebooks(
-                    co, shape, k, s, p, caps[i - 1], lk, build_subm=False,
-                    build_inverse=train)
+                co, didx, dmask, _, _, shape, _, dinv = stage(
+                    i, co, shape, k, s, p, lk, False)
                 valid = co[:, :, 0] >= 0
                 x = SparseConvBN(ch, cfg, ax, precision=pr)(
                     x, didx, dmask, valid, train, inverse=dinv)
@@ -549,9 +678,8 @@ class SpMiddleResNetFHD(nn.Module):
                              axis_name=ax, precision=pr)(xd, occ4, train)
             return _fold_depth(xd)
 
-        co4, didx, dmask, _, _, shape4, _, dinv = _stage_rulebooks(
-            co, shape, (3, 1, 1), (2, 1, 1), 0, caps[3], lk,
-            build_subm=False, build_inverse=train)
+        co4, didx, dmask, _, _, shape4, _, dinv = stage(
+            4, co, shape, (3, 1, 1), (2, 1, 1), 0, lk, False)
         valid4 = co4[:, :, 0] >= 0
         x = SparseConvBN(128, cfg, ax, precision=pr)(
             x, didx, dmask, valid4, train, inverse=dinv)
@@ -569,19 +697,23 @@ class SpMiddleFHDNobn(nn.Module):
     axis_name: Optional[str] = None
     ds_factor: int = 8
     stage_caps: Sequence[float] = (1.0, 1.0, 1.0, 1.0)
+    dense_tail: bool = True                              # see SpMiddleFHD
+    dense_from: int = 3
     pre_ranked: bool = False
     name_str: str = "SpMiddleFHDNobn"
 
     @nn.compact
     def __call__(self, voxel_features, coords, input_shape,
-                 train: bool = False):
+                 train: bool = False, plan=None):
         return SpMiddleFHD(num_input_features=self.num_input_features,
                            norm_cfg=self.norm_cfg, axis_name=self.axis_name,
                            ds_factor=self.ds_factor,
                            stage_caps=tuple(self.stage_caps),
+                           dense_tail=self.dense_tail,
+                           dense_from=self.dense_from,
                            pre_ranked=self.pre_ranked,
                            use_norm=False)(voxel_features, coords,
-                                           input_shape, train)
+                                           input_shape, train, plan=plan)
 
 
 @BACKBONES.register_module
@@ -604,45 +736,55 @@ class RCNNSpMiddleFHD(nn.Module):
 
     @nn.compact
     def __call__(self, voxel_features, coords, input_shape,
-                 train: bool = False):
+                 train: bool = False, plan=None):
         nx, ny, nz = (int(s) for s in input_shape)
         shape0 = (nz + 1, ny, nx)
         cfg, ax = self.norm_cfg, self.axis_name
         v = coords.shape[1]
         caps = [max(64, int(v * f)) for f in self.stage_caps]
 
-        x, coords, lookup0 = _res0_lookup(voxel_features, coords, shape0,
-                                          self.pre_ranked)
-        sidx0, smask0 = sp.subm_window_rulebook_batch(coords, shape0, 3, lookup0)
+        def stage(i, co, shape, k, s, p, lk, build_subm):
+            if plan is not None:
+                return _plan_stage(plan, i, shape, k, s, p, build_subm,
+                                   train)
+            return _stage_rulebooks(co, shape, k, s, p, caps[i - 1], lk,
+                                    build_subm=build_subm,
+                                    build_inverse=train)
+
+        if plan is not None:
+            x, coords, sidx0, smask0 = _res0_with_plan(
+                voxel_features, coords, shape0, self.pre_ranked, plan)
+            lookup0 = None
+        else:
+            x, coords, lookup0 = _res0_lookup(voxel_features, coords,
+                                              shape0, self.pre_ranked)
+            sidx0, smask0 = sp.subm_window_rulebook_batch(coords, shape0, 3,
+                                                          lookup0)
         valid0 = coords[:, :, 0] >= 0
         x = SparseConvBN(16, cfg, ax)(x, sidx0, smask0, valid0, train, z_taps=sp.center_column_taps(3))
         x = SparseConvBN(16, cfg, ax)(x, sidx0, smask0, valid0, train, z_taps=sp.center_column_taps(3))
 
-        co1, didx, dmask, sidx, smask, shape1, lk1, dinv1 = \
-            _stage_rulebooks(coords, shape0, 3, 2, 1, caps[0], lookup0,
-                             build_inverse=train)
+        co1, didx, dmask, sidx, smask, shape1, lk1, dinv1 = stage(
+            1, coords, shape0, 3, 2, 1, lookup0, True)
         valid1 = co1[:, :, 0] >= 0
-        x = SparseConvBN(32, cfg, ax)(x, didx, dmask, valid1, train)
+        x = SparseConvBN(32, cfg, ax)(x, didx, dmask, valid1, train, inverse=dinv1)
         x = SparseConvBN(32, cfg, ax)(x, sidx, smask, valid1, train, z_taps=sp.center_column_taps(3))
 
-        co2, didx, dmask, sidx, smask, shape2, lk2, dinv2 = \
-            _stage_rulebooks(co1, shape1, 3, 2, 1, caps[1], lk1,
-                             build_inverse=train)
+        co2, didx, dmask, sidx, smask, shape2, lk2, dinv2 = stage(
+            2, co1, shape1, 3, 2, 1, lk1, True)
         valid2 = co2[:, :, 0] >= 0
-        x = SparseConvBN(64, cfg, ax)(x, didx, dmask, valid2, train)
+        x = SparseConvBN(64, cfg, ax)(x, didx, dmask, valid2, train, inverse=dinv2)
         x = SparseConvBN(64, cfg, ax)(x, sidx, smask, valid2, train, z_taps=sp.center_column_taps(3))
 
-        co3, didx, dmask, sidx, smask, shape3, lk3, dinv3 = \
-            _stage_rulebooks(co2, shape2, 3, 2, (0, 1, 1), caps[2], lk2,
-                             build_inverse=train)
+        co3, didx, dmask, sidx, smask, shape3, lk3, dinv3 = stage(
+            3, co2, shape2, 3, 2, (0, 1, 1), lk2, True)
         valid3 = co3[:, :, 0] >= 0
-        x = SparseConvBN(64, cfg, ax)(x, didx, dmask, valid3, train)
+        x = SparseConvBN(64, cfg, ax)(x, didx, dmask, valid3, train, inverse=dinv3)
         x = SparseConvBN(64, cfg, ax)(x, sidx, smask, valid3, train, z_taps=sp.center_column_taps(3))
 
-        co4, didx, dmask, _, _, shape4, _, dinv4 = _stage_rulebooks(
-            co3, shape3, (3, 1, 1), (2, 1, 1), 0, caps[3], lk3,
-            build_subm=False, build_inverse=train)
+        co4, didx, dmask, _, _, shape4, _, dinv4 = stage(
+            4, co3, shape3, (3, 1, 1), (2, 1, 1), 0, lk3, False)
         valid4 = co4[:, :, 0] >= 0
-        x = SparseConvBN(64, cfg, ax)(x, didx, dmask, valid4, train)
+        x = SparseConvBN(64, cfg, ax)(x, didx, dmask, valid4, train, inverse=dinv4)
 
         return _bev_reshape(x, co4, shape4)

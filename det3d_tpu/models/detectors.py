@@ -61,9 +61,14 @@ class VoxelNet(SingleStageDetector):
     """Parity: detectors/voxelnet.py:6-52 (SECOND / CBGS family)."""
 
     @nn.compact
-    def __call__(self, voxels, num_points, coors, train: bool = False):
+    def __call__(self, voxels, num_points, coors, train: bool = False,
+                 plan=None):
+        # ``plan``: optional host-precomputed packed rulebooks for the
+        # sparse middle (ops/sparse_host.py) — zero device-side rulebook
+        # construction when the input pipeline ships one.
         feats = self.reader(voxels, num_points, train=train)          # (B,V,C)
-        x = self.backbone(feats, coors, self.grid_size, train=train)
+        kw = {} if plan is None else {"plan": plan}
+        x = self.backbone(feats, coors, self.grid_size, train=train, **kw)
         if self.neck is not None:
             x = self.neck(x, train=train)
         return self.bbox_head(x, train=train)

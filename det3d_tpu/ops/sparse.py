@@ -1309,3 +1309,74 @@ def stage_transition_batch(coords, shape, kernel, stride, padding,
     presi = presi & (coords[:, :, 0] >= 0)[:, :, None, None]
     inverse = (r0i, presi, par, (k, s, ncand))
     return out_co, oshape, ("bitmap", tables), inverse
+
+
+# ---------------------------------------------------------------------------
+# Packed rulebook transport (host-precomputed plans)
+# ---------------------------------------------------------------------------
+# Rulebooks are pure functions of integer voxel coordinates, so a training
+# input pipeline can build them in CPU workers (ops/sparse_host.py) and ship
+# them to the device as ONE int32 array per rulebook, hidden under loader
+# prefetch — the TPU step then spends zero time on rulebook construction.
+# Bit layout per entry (int32, sign bit clear):
+#   window rulebooks:  bits 0..23 = r0 rank, bits 24..24+kz-1 = tap presence
+#   inverse rulebooks: bits 0..23 = r0i rank, bits 24..24+ncz-1 = presence,
+#                      bits 28..30 = par (z, y, x) stride parities (broadcast
+#                      into every candidate column; read from column 0)
+# Ranks are bounded by the voxel cap (<= a few 100k) so 24 bits are ample;
+# unpacking is a handful of VPU shift/mask ops.
+
+_PACK_SHIFT = 24
+_PACK_MASK = (1 << _PACK_SHIFT) - 1
+
+
+def pack_windows(r0, pres):
+    """(r0 (..., K) int32, pres (..., K, kz) bool) -> packed (..., K) int32.
+
+    Canonical form: r0 is zeroed where NO tap is present — those slots are
+    never read by any consumer (taps multiply by pres), and the device
+    builders leave masked-row garbage in them (a padding row's span fetch
+    may CLIP-shift), so canonicalizing makes host and device plans
+    bit-comparable."""
+    r0 = jnp.where(pres.any(-1), r0, 0)
+    packed = jnp.bitwise_and(r0, _PACK_MASK)
+    for j in range(pres.shape[-1]):
+        packed = packed | (pres[..., j].astype(jnp.int32)
+                           << (_PACK_SHIFT + j))
+    return packed
+
+
+def unpack_windows(packed, kz):
+    """Inverse of pack_windows. Returns (r0, pres (..., kz))."""
+    r0 = jnp.bitwise_and(packed, _PACK_MASK)
+    pres = jnp.stack(
+        [((packed >> (_PACK_SHIFT + j)) & 1).astype(bool)
+         for j in range(kz)], axis=-1)
+    return r0, pres
+
+
+def pack_inverse(inverse):
+    """(r0i, presi, par, kspec) -> packed (B, V, Kc) int32 (kspec dropped —
+    it is static and re-derived by the consumer from the layer geometry)."""
+    r0i, presi, par, _ = inverse
+    r0i = jnp.where(presi.any(-1), r0i, 0)   # canonical, see pack_windows
+    packed = jnp.bitwise_and(r0i, _PACK_MASK)
+    for j in range(presi.shape[-1]):
+        packed = packed | (presi[..., j].astype(jnp.int32)
+                           << (_PACK_SHIFT + j))
+    for d in range(3):
+        packed = packed | ((par[..., d] & 1) << (28 + d))[..., None]
+    return packed
+
+
+def unpack_inverse(packed, kspec):
+    """Inverse of pack_inverse: packed (B, V, Kc) + static kspec
+    (kernel, stride, ncand) -> (r0i, presi, par, kspec)."""
+    k, s, ncand = kspec
+    r0i = jnp.bitwise_and(packed, _PACK_MASK)
+    presi = jnp.stack(
+        [((packed >> (_PACK_SHIFT + j)) & 1).astype(bool)
+         for j in range(ncand[0])], axis=-1)
+    par = jnp.stack([(packed[..., 0] >> (28 + d)) & 1 for d in range(3)],
+                    axis=-1).astype(jnp.int32)
+    return r0i, presi, par, (tuple(k), tuple(s), tuple(ncand))

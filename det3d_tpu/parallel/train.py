@@ -70,7 +70,11 @@ def build_example(batch: Dict[str, jnp.ndarray],
     ``rng`` (PRNGKey) is only needed when an assigner uses
     positive_fraction subsampling.
     """
-    vox = voxel_generator.generate_batch(batch["points"], batch["num_points"])
+    # point_lin: host-precomputed voxel ids riding along with a host
+    # rulebook plan (ops/sparse_host.py) — makes host and device agree on
+    # every point's voxel by construction (core/voxelize.py lin override)
+    vox = voxel_generator.generate_batch(batch["points"], batch["num_points"],
+                                         lin=batch.get("point_lin"))
     batch_size = batch["points"].shape[0]
 
     example: Dict[str, Any] = {
@@ -138,12 +142,18 @@ def make_train_step(model, voxel_generator: VoxelGenerator,
         example = build_example(batch, voxel_generator, assigners,
                                 class_ids_per_task, with_targets=True,
                                 rng=rng)
+        # host-precomputed packed rulebooks (keys "plan_*", added by the
+        # HostPlan pipeline stage) go to the sparse middle as one pytree
+        plan = {k[5:]: v for k, v in batch.items()
+                if k.startswith("plan_")} or None
+        kw = {} if plan is None else {"plan": plan}
 
         def loss_fn(params):
             preds, mutated = model.apply(
                 {"params": params, "batch_stats": state.batch_stats},
                 example["voxels"], example["num_points_per_voxel"],
-                example["coordinates"], train=True, mutable=["batch_stats"])
+                example["coordinates"], train=True, mutable=["batch_stats"],
+                **kw)
             losses = model.loss(example, preds)
             total = sum(losses["loss"])
             return total, (losses, mutated["batch_stats"])
@@ -192,6 +202,8 @@ def make_predict_step(model, voxel_generator: VoxelGenerator,
             # predict_tta de-flips and merges before one NMS. Parity role:
             # reference pipelines/test_aug.py:8 (+ the nuScenes double-flip
             # note at preprocess.py:202-206), fused into the jitted step.
+            # (host plans don't apply here: the flips rewrite the points
+            # inside the step — eval_detector never injects them with TTA)
             pts = batch["points"]
             p_y = pts.at[..., 1].multiply(-1.0)
             p_x = pts.at[..., 0].multiply(-1.0)
@@ -202,10 +214,13 @@ def make_predict_step(model, voxel_generator: VoxelGenerator,
             }
         example = build_example(batch, voxel_generator, assigners,
                                 class_ids_per_task, with_targets=False)
+        plan = {k[5:]: v for k, v in batch.items()
+                if k.startswith("plan_")} or None
+        kw = {} if plan is None else {"plan": plan}
         preds = model.apply(
             {"params": state.params, "batch_stats": state.batch_stats},
             example["voxels"], example["num_points_per_voxel"],
-            example["coordinates"], train=False)
+            example["coordinates"], train=False, **kw)
         if double_flip:
             return model.predict_tta(example, preds, test_cfg)
         return model.predict(example, preds, test_cfg)
