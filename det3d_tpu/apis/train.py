@@ -34,7 +34,7 @@ from det3d_tpu.solver import build_optimizer
 from det3d_tpu.solver.schedules import build_lr_schedule
 
 BATCH_KEYS = ("points", "num_points", "gt_boxes", "gt_classes", "gt_valid",
-              "point_lin")
+              "point_lin", "point_perm")
 
 
 def batch_to_device(batch: Dict[str, Any]) -> Dict[str, jnp.ndarray]:
@@ -75,6 +75,10 @@ def inject_host_plan(cfg, model, voxel_gen, split: str = "train",
                    max_voxels=int(voxel_gen.max_voxels),
                    order=voxel_gen.effective_order),
         spec=spec, train=train))
+    logging.getLogger("det3d").info(
+        "host rulebook plans: ON for %s (%d stages, order=%s) — loader "
+        "workers build the sparse middle's rulebooks", split,
+        len(spec["stages"]), voxel_gen.effective_order)
     return True
 
 

@@ -41,7 +41,7 @@ _SENTINEL = np.iinfo(np.int32).max
 def voxelize(points, num_points, *, voxel_size: Tuple[float, ...],
              pc_range: Tuple[float, ...], grid_size: Tuple[int, int, int],
              max_voxels: int, max_points: int, order: str = "appearance",
-             lin=None):
+             lin=None, perm=None):
     """Voxelize one padded point cloud.
 
     points: (P, C) float32, first 3 channels are xyz; rows >= num_points are
@@ -79,7 +79,7 @@ def voxelize(points, num_points, *, voxel_size: Tuple[float, ...],
 
     if order in ("hashed", "yxz"):
         return _voxelize_hashed(points, lin, (gx, gy, gz), max_voxels,
-                                max_points, key_mode=order)
+                                max_points, key_mode=order, perm=perm)
 
     order = jnp.argsort(lin, stable=True)                    # (P,) point perm
     slin = lin[order]
@@ -183,7 +183,7 @@ def _sort_key(lin, grid_size, key_mode):
 
 
 def _voxelize_hashed(points, lin, grid_size, max_voxels, max_points,
-                     key_mode="hashed"):
+                     key_mode="hashed", perm=None):
     """Hashed- or yxz-key voxel ordering: the descriptor-minimal path.
 
     P-row (descriptor-bound) ops: one key+payload sort, one point gather,
@@ -205,8 +205,14 @@ def _voxelize_hashed(points, lin, grid_size, max_voxels, max_points,
     gx, gy, _ = grid_size
     pos = jnp.arange(P, dtype=jnp.int32)
 
-    key = _sort_key(lin, grid_size, key_mode)
-    _, sorted_lin, perm = jax.lax.sort((key, lin, pos), num_keys=2)
+    if perm is None:
+        key = _sort_key(lin, grid_size, key_mode)
+        _, sorted_lin, perm = jax.lax.sort((key, lin, pos), num_keys=2)
+    else:
+        # host-precomputed sort order (ops/sparse_host.py::point_order,
+        # rides with a rulebook plan): the P-row sort — the dominant
+        # build_example cost on big sweeps — becomes one gather
+        sorted_lin = lin[perm]
     svalid = sorted_lin != _SENTINEL
     head = svalid & jnp.concatenate(
         [jnp.ones((1,), bool), sorted_lin[1:] != sorted_lin[:-1]])
@@ -254,7 +260,7 @@ def _voxelize_hashed(points, lin, grid_size, max_voxels, max_points,
                                    "max_voxels", "max_points", "order"))
 def voxelize_mean(points, num_points, *, voxel_size, pc_range,
                   grid_size, max_voxels: int, max_points: int,
-                  order: str = "hashed", lin=None):
+                  order: str = "hashed", lin=None, perm=None):
     """Fused voxelize + mean-VFE: per-voxel feature means with NO padded
     (V, T, C) buffer.
 
@@ -278,8 +284,11 @@ def voxelize_mean(points, num_points, *, voxel_size, pc_range,
         lin = _quantize(points, num_points, voxel_size, pc_range, grid_size)
 
     pos = jnp.arange(P, dtype=jnp.int32)
-    key = _sort_key(lin, grid_size, order)
-    _, sorted_lin, perm = jax.lax.sort((key, lin, pos), num_keys=2)
+    if perm is None:
+        key = _sort_key(lin, grid_size, order)
+        _, sorted_lin, perm = jax.lax.sort((key, lin, pos), num_keys=2)
+    else:
+        sorted_lin = lin[perm]            # see _voxelize_hashed's perm note
     svalid = sorted_lin != _SENTINEL
     head = svalid & jnp.concatenate(
         [jnp.ones((1,), bool), sorted_lin[1:] != sorted_lin[:-1]])
@@ -365,9 +374,10 @@ class VoxelGenerator:
         g = np.round((rng[3:] - rng[:3]) / vs).astype(np.int64)
         return tuple(int(v) for v in g)
 
-    def generate(self, points, num_points, lin=None):
-        """``lin``: optional host-precomputed per-point linear voxel ids
-        (ops/sparse_host.py::point_lin) — see voxelize()'s override note."""
+    def generate(self, points, num_points, lin=None, perm=None):
+        """``lin``/``perm``: optional host-precomputed per-point voxel ids
+        and sort order (ops/sparse_host.py) — see voxelize()'s override
+        notes. ``perm`` requires ``lin``."""
         if self.fuse_mean:
             return voxelize_mean(
                 points, num_points,
@@ -377,7 +387,7 @@ class VoxelGenerator:
                 max_voxels=int(self.max_voxels),
                 max_points=int(self.max_num_points),
                 order=self.effective_order,
-                lin=lin,
+                lin=lin, perm=perm,
             )
         return voxelize(
             points, num_points,
@@ -387,10 +397,10 @@ class VoxelGenerator:
             max_voxels=int(self.max_voxels),
             max_points=int(self.max_num_points),
             order=self.order,
-            lin=lin,
+            lin=lin, perm=perm,
         )
 
-    def generate_batch(self, points, num_points, lin=None):
+    def generate_batch(self, points, num_points, lin=None, perm=None):
         """Batch of (B, P, C) padded clouds. The fused-mean path maps
         per-sample (its P-row scatter-add degrades ~5x under vmap, like
         every batch scatter here); the buffer path vmaps."""
@@ -398,18 +408,17 @@ class VoxelGenerator:
             if lin is None:
                 return jax.lax.map(lambda a: self.generate(*a),
                                    (points, num_points))
+            if perm is None:
+                return jax.lax.map(lambda a: self.generate(*a),
+                                   (points, num_points, lin))
             return jax.lax.map(lambda a: self.generate(*a),
-                               (points, num_points, lin))
-        fn = partial(
-            voxelize,
-            voxel_size=tuple(float(v) for v in self.voxel_size),
-            pc_range=tuple(float(v) for v in self.point_cloud_range),
-            grid_size=self.grid_size,
-            max_voxels=int(self.max_voxels),
-            max_points=int(self.max_num_points),
-            order=self.order,
-        )
+                               (points, num_points, lin, perm))
         if lin is None:
+            fn = lambda p, n: self.generate(p, n)
             return jax.vmap(fn)(points, num_points)
-        return jax.vmap(lambda p, n, l: fn(p, n, lin=l))(points, num_points,
-                                                         lin)
+        if perm is None:
+            return jax.vmap(lambda p, n, l: self.generate(p, n, lin=l))(
+                points, num_points, lin)
+        return jax.vmap(lambda p, n, l, q: self.generate(p, n, lin=l,
+                                                         perm=q))(
+            points, num_points, lin, perm)

@@ -90,14 +90,12 @@ def _mix32(x):
     return x
 
 
-def voxel_coords(lin, grid_size, max_voxels, order):
-    """Voxel coordinate rows for the fast voxelizer paths.
-
-    Twin of core/voxelize.py::_voxelize_hashed's ``coords`` output (orders
-    "hashed" and "yxz"; the "appearance" path is not supported — host plans
-    are only wired for the fast paths). Returns (max_voxels, 3) int32 zyx
-    with -1 padding.
-    """
+def point_order(lin, grid_size, order):
+    """The fast voxelizer paths' point sort order — twin of the
+    ``jax.lax.sort((key, lin, pos), num_keys=2)`` in
+    core/voxelize.py::_voxelize_hashed (stable lexsort by (key, lin)).
+    Shipped to the device as its ``perm`` override: the P-row sort — the
+    dominant build_example cost on 300k-point sweeps — becomes a gather."""
     gx, gy, gz = grid_size
     lin = np.asarray(lin, np.int64)
     if order == "yxz":
@@ -111,8 +109,21 @@ def voxel_coords(lin, grid_size, max_voxels, order):
                        _mix32(lin.astype(np.uint32)).astype(np.int64))
     else:
         raise ValueError(f"host plans need order 'hashed'/'yxz', got {order}")
-    # lax.sort((key, lin, pos), num_keys=2) == lexsort by (key, lin), stable
-    perm = np.lexsort((lin, key))
+    return np.lexsort((lin, key)).astype(np.int32)
+
+
+def voxel_coords(lin, grid_size, max_voxels, order, perm=None):
+    """Voxel coordinate rows for the fast voxelizer paths.
+
+    Twin of core/voxelize.py::_voxelize_hashed's ``coords`` output (orders
+    "hashed" and "yxz"; the "appearance" path is not supported — host plans
+    are only wired for the fast paths). Returns (max_voxels, 3) int32 zyx
+    with -1 padding.
+    """
+    gx, gy, gz = grid_size
+    lin = np.asarray(lin, np.int64)
+    if perm is None:
+        perm = point_order(lin, grid_size, order)
     slin = lin[perm]
     svalid = slin != SENTINEL
     head = svalid.copy()
@@ -336,8 +347,9 @@ def build_plan(points, num_points, *, voxel_size, pc_range, grid_size,
       plan_inv{i}      (V_{i-1}, Kc) packed inverse rulebooks (train only)
     """
     lin = point_lin(points, num_points, voxel_size, pc_range, grid_size)
-    coords = voxel_coords(lin, grid_size, max_voxels, order)
-    out: Dict[str, np.ndarray] = {"point_lin": lin}
+    perm = point_order(lin, grid_size, order)
+    coords = voxel_coords(lin, grid_size, max_voxels, order, perm=perm)
+    out: Dict[str, np.ndarray] = {"point_lin": lin, "point_perm": perm}
 
     shape0 = tuple(spec["shape0"])
     if spec["pre_ranked"]:

@@ -70,11 +70,13 @@ def build_example(batch: Dict[str, jnp.ndarray],
     ``rng`` (PRNGKey) is only needed when an assigner uses
     positive_fraction subsampling.
     """
-    # point_lin: host-precomputed voxel ids riding along with a host
-    # rulebook plan (ops/sparse_host.py) — makes host and device agree on
-    # every point's voxel by construction (core/voxelize.py lin override)
+    # point_lin/point_perm: host-precomputed voxel ids and sort order
+    # riding along with a host rulebook plan (ops/sparse_host.py) — host
+    # and device agree on every point's voxel by construction, and the
+    # device's P-row sort becomes one gather (core/voxelize.py overrides)
     vox = voxel_generator.generate_batch(batch["points"], batch["num_points"],
-                                         lin=batch.get("point_lin"))
+                                         lin=batch.get("point_lin"),
+                                         perm=batch.get("point_perm"))
     batch_size = batch["points"].shape[0]
 
     example: Dict[str, Any] = {

@@ -66,7 +66,7 @@ def test_plan_matches_device(rng, order, pre_ranked, dense_tail, dense_from):
     dev = build_dev = jax.jit(
         lambda co: bb.build_plan_device(co, spec, True))(vox["coords"])
     del build_dev
-    assert set(dev) == {k[5:] for k in host if k != "point_lin"}
+    assert set(dev) == {k[5:] for k in host if k.startswith("plan_")}
     for k, v in dev.items():
         np.testing.assert_array_equal(
             host[f"plan_{k}"], np.asarray(v), err_msg=f"plan key {k}")
@@ -76,7 +76,8 @@ def test_plan_matches_device(rng, order, pre_ranked, dense_tail, dense_from):
     dev_eval = jax.jit(
         lambda co: bb.build_plan_device(co, spec, False))(vox["coords"])
     assert not any(k.startswith("inv") for k in dev_eval)
-    assert set(dev_eval) == {k[5:] for k in host_eval if k != "point_lin"}
+    assert set(dev_eval) == {k[5:] for k in host_eval
+            if k.startswith("plan_")}
     for k, v in dev_eval.items():
         np.testing.assert_array_equal(host_eval[f"plan_{k}"], np.asarray(v),
                                       err_msg=f"plan key {k}")
@@ -303,3 +304,24 @@ def test_hostplan_stage_and_injection(rng):
     vg_app = VoxelGenerator(order="appearance", **VG_KW)
     cfg3 = {"data": {"train": {"pipeline": [dict(type="Reformat")]}}}
     assert not inject_host_plan(cfg3, FakeModel(), vg_app)
+
+
+@pytest.mark.parametrize("order", ["yxz", "hashed"])
+@pytest.mark.parametrize("fuse_mean", [True, False])
+def test_voxelize_with_host_perm_matches(rng, order, fuse_mean):
+    """Device voxelization with the host's (lin, perm) overrides equals
+    the self-computed path bit-for-bit (sort replaced by one gather)."""
+    vg = VoxelGenerator(order=order, fuse_mean=fuse_mean, **VG_KW)
+    pts, n = _clouds(rng)
+    ref = vg.generate_batch(jnp.asarray(pts), jnp.asarray(n))
+    lin = np.stack([sph.point_lin(pts[i], n[i], vg.voxel_size,
+                                  vg.point_cloud_range, vg.grid_size)
+                    for i in range(pts.shape[0])])
+    perm = np.stack([sph.point_order(lin[i], vg.grid_size,
+                                     vg.effective_order)
+                     for i in range(pts.shape[0])])
+    out = vg.generate_batch(jnp.asarray(pts), jnp.asarray(n),
+                            lin=jnp.asarray(lin), perm=jnp.asarray(perm))
+    for k in ref:
+        np.testing.assert_array_equal(np.asarray(out[k]), np.asarray(ref[k]),
+                                      err_msg=k)
