@@ -143,7 +143,12 @@ class SparseBasicBlock(nn.Module):
 
 # A/B switch for the fused sort-free downsample transition
 # (sp.stage_transition_batch vs conv_out_coords + stage_lookup_batch).
-_SORT_FREE_TRANSITION = True
+# Measured OFF (round 4, v5e): the sorted path wins — SECOND predict
+# 69.8 (off) vs 81.5 (on) ms/scan @ B=2; the transition's dense-grid
+# cumsum/scatter passes cost more than the sorts they replace at KITTI
+# scale. The fused path remains exact-equivalence-tested and is the
+# host plan twin's oracle (sparse_host.transition), so it stays.
+_SORT_FREE_TRANSITION = False
 
 
 def _res0_lookup(voxel_features, coords, shape0, pre_ranked):

@@ -472,10 +472,9 @@ def _bitmap_stride(d):
     return 4 if d > 32 else 2
 
 
-# Guard columns around the interleaved table: 1 in front (x-span fetches
-# start at qx0 = x - pad >= -1) and 3 at the end (a span of <= 3 columns
-# starting at the last real column stays in bounds) so _bitmap_fetch_span
-# never needs CLIP shifting, which would silently misalign valid columns.
+# Guard columns around the interleaved table (layout kept from the
+# round-3 row-span experiment so host plans / packed tables stay
+# compatible): column c's words live at (c + _BM_PAD_FRONT) * stride.
 _BM_PAD_FRONT = 1
 _BM_PAD_END = 3
 
@@ -488,9 +487,9 @@ def build_bitmap(coords, shape):
     one (stride,)-slice gather fetches a whole column where the
     three-table layout cost 2-3 element gathers (measured 1.36x/1.47x
     faster per query, tools/probes/probe_interleave.py). Guard columns
-    front/back let a BEV kernel ROW (up to 3 x-adjacent columns, flat ids
-    consecutive) be fetched as ONE (3*stride,)-slice (_bitmap_fetch_span);
-    column c's words live at (c + 1) * stride."""
+    front/back are layout legacy of the round-3 row-span experiment
+    (see _bitmap_fetch's postmortem note); column c's words live at
+    (c + 1) * stride."""
     d, h, w = shape
     assert d <= 64, f"bitmap lookup needs depth <= 64, got {d}"
     z, y, x = coords[:, 0], coords[:, 1], coords[:, 2]
@@ -533,39 +532,33 @@ def _bitmap_fetch(table, flat, d):
     into one global gather with per-sample offsets — a vmapped slice
     gather degrades 14.2 -> 21.0 ns/query while the flattened form stays
     at 14.3 (tools/probes/probe_interleave.py), so the rulebook builders
-    are written batched rather than vmapped."""
-    return _bitmap_fetch_span(table, flat, 1, d, squeeze=True)
+    are written batched rather than vmapped.
 
-
-def _bitmap_fetch_span(table, flat0, nx, d, squeeze=False):
-    """Fetch ``nx`` x-ADJACENT columns' interleaved words with ONE
-    (nx*stride,)-slice gather per query -> (base, lo, hi) each
-    (..., nx) (or (...,) when squeeze and nx == 1).
-
-    flat0: (...,) flat id (y*w + x) of the FIRST column; callers may pass
-    flat0 down to -1 (front guard column) and up to h*w - 1 (end guards)
-    — the padded layout keeps every span in bounds, so CLIP never shifts
-    a valid query. Batched tables flatten into one global gather (see
-    _bitmap_fetch's vmap note)."""
+    Round-3 postmortem (docs/DESIGN_NOTES.md §9): a "row-span" variant
+    fetched 3 x-adjacent columns with one (3*stride,)-slice gather —
+    fewer descriptors, neutral in the microbenchmark, but it regressed
+    SECOND predict 57 -> 474 ms/scan whole-program on TPU (wider slices
+    per descriptor lose the fast gather path), and even span-shaped
+    callers over per-column fetches cost ~13 ms/scan. This per-query
+    (stride,)-slice form with per-column callers is the measured-fast
+    shape; don't widen it without a whole-program TPU A/B."""
     s = _bitmap_stride(d)
     if table.ndim == 2:
         bsz, sm = table.shape
         off = (jnp.arange(bsz, dtype=jnp.int32) * (sm // s)).reshape(
-            (bsz,) + (1,) * (flat0.ndim - 1))
-        q = flat0 + off
+            (bsz,) + (1,) * (flat.ndim - 1))
+        q = flat + off
         tf = table.reshape(-1)
     else:
-        q = flat0
+        q = flat
         tf = table
     g = jax.lax.gather(
         tf, ((q.reshape(-1) + _BM_PAD_FRONT) * s)[:, None],
         jax.lax.GatherDimensionNumbers(offset_dims=(1,),
                                        collapsed_slice_dims=(),
                                        start_index_map=(0,)),
-        slice_sizes=(nx * s,), mode=jax.lax.GatherScatterMode.CLIP)
-    g = g.reshape(flat0.shape + (nx, s))
-    if squeeze:
-        g = g.reshape(flat0.shape + (s,))
+        slice_sizes=(s,), mode=jax.lax.GatherScatterMode.CLIP)
+    g = g.reshape(flat.shape + (s,))
     base = g[..., 0]
     lo = jax.lax.bitcast_convert_type(g[..., 1], jnp.uint32)
     hi = (jax.lax.bitcast_convert_type(g[..., 2], jnp.uint32)
@@ -723,29 +716,6 @@ def _bitmap_column_windows(bitmap, qy, qx, z0, kz, shape):
     return _windows_from_words(base, lo, hi, okc, z0, kz, d)
 
 
-def _bitmap_row_windows(bitmap, qy, qx0, nx, z0, kz, shape):
-    """Window bases + tap presence for a full BEV kernel ROW per fetch.
-
-    The flat table id (y*w + x) is linear in x, so the nx x-adjacent
-    columns of one kernel row occupy consecutive interleaved slots: ONE
-    (nx*stride,)-slice gather replaces nx per-column fetches (3x fewer
-    query descriptors for 3x3 BEV kernels). x outside the row wraps into
-    a neighboring row's slots — exactly the queries the per-column x
-    bounds check masks, so the wrapped words are never used.
-
-    qy: (..., R) kernel-row queries; qx0: (...,) span base (>= -1: the
-    front guard column, see _BM_PAD_FRONT); z0: (...,) first z tap.
-    Returns (r0 (..., R, nx), pres (..., R, nx, kz))."""
-    d, h, w = shape
-    rowok = (qy >= 0) & (qy < h)
-    flat0 = jnp.where(rowok, qy * w, 0) + qx0[..., None]
-    base, lo, hi = _bitmap_fetch_span(bitmap, flat0, nx, d)  # (..., R, nx)
-    xs = qx0[..., None, None] + jnp.arange(nx, dtype=jnp.int32)
-    okc = rowok[..., None] & (xs >= 0) & (xs < w)
-    return _windows_from_words(base, lo, hi, okc,
-                               z0[..., None, None], kz, d)
-
-
 def subm_window_rulebook_batch(coords, shape, kernel, lookup_struct):
     """Window rulebook for a submanifold conv (output set == input set).
 
@@ -756,15 +726,14 @@ def subm_window_rulebook_batch(coords, shape, kernel, lookup_struct):
         return subm_rulebook_batch(coords, shape, kernel, lookup_struct)
     k = _as3(kernel)
     pad = tuple(kk // 2 for kk in k)
-    b, v = coords.shape[:2]
-    dys = jnp.arange(k[1], dtype=jnp.int32) - pad[1]
-    qy = coords[:, :, None, 1] + dys[None, None]            # (B, V, ky)
-    qx0 = coords[:, :, 2] - pad[2]                          # >= -1
-    z0 = coords[:, :, 0] - pad[0]
-    r0, pres = _bitmap_row_windows(lookup_struct[1], qy, qx0, k[2], z0,
-                                   k[0], shape)
-    r0 = r0.reshape(b, v, k[1] * k[2])                      # (dy, dx) major
-    pres = pres.reshape(b, v, k[1] * k[2], k[0])
+    bev = _tap_offsets((1, k[1], k[2]))[:, 1:]              # (Kbev, 2)
+    bev = jnp.asarray(bev - np.asarray(pad[1:]), jnp.int32)
+
+    qy = coords[:, :, None, 1] + bev[None, None, :, 0]      # (B, V, Kbev)
+    qx = coords[:, :, None, 2] + bev[None, None, :, 1]
+    z0 = jnp.broadcast_to((coords[:, :, 0] - pad[0])[:, :, None], qy.shape)
+    r0, pres = _bitmap_column_windows(lookup_struct[1], qy, qx, z0, k[0],
+                                      shape)
     return r0, pres & (coords[:, :, 0] >= 0)[:, :, None, None]
 
 
@@ -779,24 +748,13 @@ def conv_window_rulebook_batch(in_shape, out_coords, kernel, stride,
                                    padding, lookup_struct)
     k, s, p = _as3(kernel), _as3(stride), _as3(padding)
     scaled = out_coords * jnp.asarray(s, jnp.int32)[None, None]
-    if p[2] <= _BM_PAD_FRONT:
-        b, o = out_coords.shape[:2]
-        dys = jnp.arange(k[1], dtype=jnp.int32) - p[1]
-        qy = scaled[:, :, None, 1] + dys[None, None]
-        qx0 = scaled[:, :, 2] - p[2]                        # >= -pad_front
-        z0 = scaled[:, :, 0] - p[0]
-        r0, pres = _bitmap_row_windows(lookup_struct[1], qy, qx0, k[2],
-                                       z0, k[0], in_shape)
-        r0 = r0.reshape(b, o, k[1] * k[2])
-        pres = pres.reshape(b, o, k[1] * k[2], k[0])
-    else:
-        bev = jnp.asarray(_tap_offsets((1, k[1], k[2]))[:, 1:], jnp.int32)
-        qy = scaled[:, :, None, 1] + bev[None, None, :, 0] - p[1]
-        qx = scaled[:, :, None, 2] + bev[None, None, :, 1] - p[2]
-        z0 = jnp.broadcast_to((scaled[:, :, 0] - p[0])[:, :, None],
-                              qy.shape)
-        r0, pres = _bitmap_column_windows(lookup_struct[1], qy, qx, z0,
-                                          k[0], in_shape)
+    bev = jnp.asarray(_tap_offsets((1, k[1], k[2]))[:, 1:], jnp.int32)
+    qy = scaled[:, :, None, 1] + bev[None, None, :, 0] - p[1]
+    qx = scaled[:, :, None, 2] + bev[None, None, :, 1] - p[2]
+    z0 = jnp.broadcast_to((scaled[:, :, 0] - p[0])[:, :, None],
+                          qy.shape)
+    r0, pres = _bitmap_column_windows(lookup_struct[1], qy, qx, z0,
+                                      k[0], in_shape)
     return r0, pres & (out_coords[:, :, 0] >= 0)[:, :, None, None]
 
 
@@ -1034,20 +992,19 @@ def strided_inverse_rulebook_batch(in_coords, kernel, stride, padding,
     sv = jnp.asarray(s, jnp.int32)
     pv = jnp.asarray(p, jnp.int32)
 
+    bev = np.stack(np.meshgrid(np.arange(ncand[1]), np.arange(ncand[2]),
+                               indexing="ij"), -1).reshape(-1, 2)
+    bev = jnp.asarray(bev, jnp.int32)                   # (Kc, 2) (cy, cx)
+
     t = in_coords + pv[None, None]
     par = t % sv[None, None]                            # (B, V, 3)
     obase = t // sv[None, None]
-    b, v = in_coords.shape[:2]
-    ncy, ncx = ncand[1], ncand[2]
-    # rows in cy order (descending y); x span ascending, flipped to cx
-    dys = -jnp.arange(ncy, dtype=jnp.int32)
-    qy = obase[:, :, None, 1] + dys[None, None]         # (B, V, ncy)
-    qx0 = obase[:, :, 2] - (ncx - 1)                    # >= -pad_front
-    z0 = obase[:, :, 0] - (ncand[0] - 1)
-    r0i, presi = _bitmap_row_windows(out_lookup[1], qy, qx0, ncx, z0,
-                                     ncand[0], out_shape)
-    r0i = r0i[:, :, :, ::-1].reshape(b, v, ncy * ncx)   # dx -> cx order
-    presi = presi[:, :, :, ::-1].reshape(b, v, ncy * ncx, ncand[0])
+    qy = obase[:, :, None, 1] - bev[None, None, :, 0]   # (B, V, Kc)
+    qx = obase[:, :, None, 2] - bev[None, None, :, 1]
+    z0 = jnp.broadcast_to((obase[:, :, 0] - (ncand[0] - 1))[:, :, None],
+                          qy.shape)
+    r0i, presi = _bitmap_column_windows(out_lookup[1], qy, qx, z0,
+                                        ncand[0], out_shape)
     presi = presi & (in_coords[:, :, 0] >= 0)[:, :, None, None]
     return r0i, presi, par, (k, s, ncand)
 
