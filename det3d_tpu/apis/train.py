@@ -82,6 +82,44 @@ def inject_host_plan(cfg, model, voxel_gen, split: str = "train",
     return True
 
 
+def host_plan_fn(model, voxel_gen, train: bool = False):
+    """Serving-path twin of ``inject_host_plan``: a callable that builds
+    the packed host rulebook plans for an in-memory numpy batch.
+
+    Returns ``fn(points (B, P, C), num_points (B,)) -> {key: (B, ...)}``
+    (the ``point_lin``/``point_perm``/``plan_*`` arrays the jitted steps
+    consume), or None when the model has no sparse middle or the
+    voxelizer order has no host twin. Serving systems call this in their
+    request pre-processing thread — the same place the reference runs its
+    CPU voxelizer (tools/dist_test.py:179-217 keeps it outside the timed
+    region) — so the device step spends zero time on rulebook builds."""
+    import numpy as np
+    from det3d_tpu.models.backbones import middle_plan_spec
+    from det3d_tpu.ops import sparse_host as sph
+
+    backbone = getattr(model, "backbone", None)
+    if backbone is None or "SpMiddle" not in type(backbone).__name__:
+        return None
+    if voxel_gen.effective_order not in ("hashed", "yxz"):
+        return None
+    spec = middle_plan_spec(backbone, voxel_gen.grid_size,
+                            voxel_gen.max_voxels)
+    kw = dict(voxel_size=tuple(voxel_gen.voxel_size),
+              pc_range=tuple(voxel_gen.point_cloud_range),
+              grid_size=tuple(voxel_gen.grid_size),
+              max_voxels=int(voxel_gen.max_voxels),
+              order=voxel_gen.effective_order, spec=spec, train=train)
+
+    def fn(points, num_points):
+        points = np.asarray(points)
+        num_points = np.asarray(num_points)
+        plans = [sph.build_plan(points[i], num_points[i], **kw)
+                 for i in range(points.shape[0])]
+        return {k: np.stack([p[k] for p in plans]) for k in plans[0]}
+
+    return fn
+
+
 def build_stack(cfg):
     """Build (model, voxel_gen, assigners, class_ids_per_task, test_cfg)
     from a reference-schema config."""

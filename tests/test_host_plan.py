@@ -172,15 +172,14 @@ def test_middle_with_plan_equals_without(rng, middle_cls, order):
         grads_pl, grads_ref)
 
 
-def test_train_step_with_plan_matches_without(rng):
-    """Full jitted train step (voxelize + targets + fwd/bwd + optimizer):
-    identical losses and updated params with and without a host plan."""
+def _tiny_second_stack(rng, plan_train=True):
+    """A tiny VoxelNet/SpMiddleFHD stack + synthetic batch shared by the
+    end-to-end plan-equality tests. Returns (model, vg, assigner, jbatch,
+    jbatch_plan, variables)."""
     from det3d_tpu.core.anchors import AnchorGeneratorRange, GroundBox3dCoder
     from det3d_tpu.core.target import TargetAssigner
     from det3d_tpu.models.builder import build_detector
-    from det3d_tpu.parallel.train import (TrainState, build_example,
-                                          make_train_step)
-    import optax
+    from det3d_tpu.parallel.train import build_example
 
     vg = VoxelGenerator(voxel_size=(0.2, 0.2, 0.1),
                         point_cloud_range=(0.0, -8.0, -3.0, 16.0, 8.0, 1.0),
@@ -235,13 +234,25 @@ def test_train_step_with_plan_matches_without(rng):
     jbatch = {k: jnp.asarray(v) for k, v in batch.items()}
 
     spec = bb.middle_plan_spec(model.backbone, grid, vg.max_voxels)
-    plan = _host_plan_batch(pts, batch["num_points"], vg, spec, train=True)
+    plan = _host_plan_batch(pts, batch["num_points"], vg, spec,
+                            train=plan_train)
     jbatch_plan = dict(jbatch, **{k: jnp.asarray(v) for k, v in plan.items()})
 
     example = build_example(jbatch, vg, [], [], with_targets=False)
     variables = jax.jit(model.init, static_argnames=("train",))(
         jax.random.PRNGKey(0), example["voxels"],
         example["num_points_per_voxel"], example["coordinates"], train=False)
+    return model, vg, assigner, jbatch, jbatch_plan, variables
+
+
+def test_train_step_with_plan_matches_without(rng):
+    """Full jitted train step (voxelize + targets + fwd/bwd + optimizer):
+    identical losses and updated params with and without a host plan."""
+    from det3d_tpu.parallel.train import TrainState, make_train_step
+    import optax
+
+    model, vg, assigner, jbatch, jbatch_plan, variables = \
+        _tiny_second_stack(rng)
     tx = optax.sgd(1e-3)
 
     def run(bat):
@@ -263,6 +274,52 @@ def test_train_step_with_plan_matches_without(rng):
         lambda a, c: np.testing.assert_array_equal(np.asarray(a),
                                                    np.asarray(c)),
         s_pl.params, s_ref.params)
+
+
+def test_predict_step_with_plan_and_serving_helper(rng):
+    """The serving path: apis.train.host_plan_fn builds the same plan the
+    pipeline stage would, and the jitted predict step returns identical
+    detections with and without it (bench.py's plan-fed contract)."""
+    from det3d_tpu.apis.train import host_plan_fn
+    from det3d_tpu.parallel.train import TrainState, make_predict_step
+    import optax
+
+    model, vg, assigner, jbatch, jbatch_plan, variables = \
+        _tiny_second_stack(rng, plan_train=False)
+    state = TrainState.create(variables["params"],
+                              variables.get("batch_stats", {}),
+                              optax.sgd(1e-3))
+    test_cfg = dict(
+        nms=dict(use_rotate_nms=True, use_multi_class_nms=False,
+                 nms_pre_max_size=100, nms_post_max_size=30,
+                 nms_iou_threshold=0.5),
+        score_threshold=0.05,
+        post_center_limit_range=[0, -8.0, -5.0, 16.0, 8.0, 5.0],
+        max_per_img=20,             # < post_max: exercises the global cap
+    )
+    step = make_predict_step(model, vg, [assigner], [[1]], test_cfg)
+    data = {"points": jbatch["points"], "num_points": jbatch["num_points"]}
+
+    fn = host_plan_fn(model, vg, train=False)
+    assert fn is not None
+    plan = fn(np.asarray(data["points"]), np.asarray(data["num_points"]))
+    # the helper's plan == the pipeline-built plan key for key
+    for k, v in plan.items():
+        np.testing.assert_array_equal(
+            v, np.asarray(jbatch_plan[k]), err_msg=k)
+
+    out_ref = step(state, data)
+    out_pl = step(state, dict(data, **{k: jnp.asarray(v)
+                                       for k, v in plan.items()}))
+    assert out_ref["scores"].shape[1] == 20        # max_per_img honored
+    for k in out_ref:
+        np.testing.assert_array_equal(np.asarray(out_pl[k]),
+                                      np.asarray(out_ref[k]), err_msg=k)
+
+    # dense models have no plan: the helper declines
+    class NoBackbone:
+        pass
+    assert host_plan_fn(NoBackbone(), vg) is None
 
 
 def test_hostplan_stage_and_injection(rng):
