@@ -173,53 +173,83 @@ def _pack_windows(r0, pres):
     return packed
 
 
-def _column_windows(keys, qy, qx, z0, kz, shape):
-    """Per-column window base rank + tap presence over sorted rank keys.
+def host_bitmap(keys, shape):
+    """Dense per-column (base, bits) lookup from SORTED yxz rank keys —
+    the numpy twin of ops/sparse.py::build_bitmap, direct-addressed.
 
-    Twin of ops/sparse.py::_windows_from_words: r0 = base + (actives below
-    clip(z0, 0, d-1)) = searchsorted(keys, colbase + zc); presence =
-    bounds & key membership. Returns (r0 (..., K), pres (..., K, kz))."""
+    Replaces searchsorted in every host rulebook query: a query becomes
+    two gathers + np.bitwise_count (measured 760 -> ~210 ms/sample for
+    the full KITTI SECOND plan). Returns (base (h*w,) int32 exclusive
+    rank base per column, bits (h*w,) uint64 z-occupancy words)."""
     d, h, w = shape
+    k = keys[keys != SENTINEL]
+    col = (k // d).astype(np.int64)
+    z = (k % d).astype(np.uint64)
+    bits = np.zeros(h * w, np.uint64)
+    counts = np.zeros(h * w, np.int64)
+    if k.size:
+        head = np.ones(k.shape[0], bool)
+        head[1:] = col[1:] != col[:-1]
+        starts = np.flatnonzero(head)
+        occ = col[starts]
+        bits[occ] = np.bitwise_or.reduceat(np.uint64(1) << z, starts)
+        counts[occ] = np.diff(np.append(starts, k.shape[0]))
+    base = (np.cumsum(counts) - counts).astype(np.int32)
+    return base, bits
+
+
+def _column_windows(lookup, qy, qx, z0, kz, shape):
+    """Per-column window base rank + tap presence over a host bitmap.
+
+    Twin of ops/sparse.py::_windows_from_words: r0 = base + popcount of
+    active bits below clip(z0, 0, d-1); presence = bounds & bit set.
+    Returns (r0 (..., K), pres (..., K, kz))."""
+    d, h, w = shape
+    base_t, bits_t = lookup
     okc = (qy >= 0) & (qy < h) & (qx >= 0) & (qx < w)
-    colbase = np.where(okc, qy * w + qx, 0).astype(np.int64) * d
+    flat = np.where(okc, qy * w + qx, 0)
+    word = bits_t[flat]
     z0b = np.broadcast_to(z0, okc.shape)
-    zc = np.clip(z0b, 0, d - 1)
-    r0 = np.where(okc, np.searchsorted(keys, colbase + zc), 0)
-    n = keys.shape[0]
+    zc = np.clip(z0b, 0, d - 1).astype(np.uint64)
+    below = np.bitwise_count(word & ((np.uint64(1) << zc) - np.uint64(1)))
+    r0 = np.where(okc, base_t[flat].astype(np.int64) + below.astype(np.int64),
+                  0)
     pres = []
     for j in range(kz):
-        z = z0b + j
-        okz = okc & (z >= 0) & (z < d)
-        q = colbase + np.where(okz, z, 0)
-        pos = np.searchsorted(keys, q)
-        found = okz & (keys[np.minimum(pos, n - 1)] == q)
-        pres.append(found)
+        zj = z0b + j
+        okz = okc & (zj >= 0) & (zj < d)
+        zjc = np.where(okz, zj, 0).astype(np.uint64)
+        pres.append(okz & (((word >> zjc) & np.uint64(1)) != 0))
     return r0.astype(np.int32), np.stack(pres, axis=-1)
 
 
-def subm_windows(coords, shape, kernel=3, keys=None):
+def subm_windows(coords, shape, kernel=3, keys=None, lookup=None):
     """Packed submanifold window rulebook. Twin of
     ops/sparse.py::subm_window_rulebook_batch (one sample). coords must be
     in yxz rank order. Returns (V, ky*kx) int32 packed."""
     k = _as3(kernel)
     pad = tuple(kk // 2 for kk in k)
-    if keys is None:
-        keys = yxz_keys(coords, shape)
+    if lookup is None:
+        lookup = host_bitmap(yxz_keys(coords, shape) if keys is None
+                             else keys, shape)
     dy = np.repeat(np.arange(k[1]) - pad[1], k[2])
     dx = np.tile(np.arange(k[2]) - pad[2], k[1])
     co = np.asarray(coords, np.int64)
     qy = co[:, 1, None] + dy[None]
     qx = co[:, 2, None] + dx[None]
     z0 = co[:, 0, None] - pad[0]
-    r0, pres = _column_windows(keys, qy, qx, z0, k[0], shape)
+    r0, pres = _column_windows(lookup, qy, qx, z0, k[0], shape)
     pres &= (co[:, 0] >= 0)[:, None, None]
     return _pack_windows(r0, pres)
 
 
-def down_windows(out_coords, in_keys, in_shape, kernel, stride, padding):
+def down_windows(out_coords, in_lookup, in_shape, kernel, stride, padding):
     """Packed strided-conv window rulebook in INPUT rank space. Twin of
-    ops/sparse.py::conv_window_rulebook_batch (one sample)."""
+    ops/sparse.py::conv_window_rulebook_batch (one sample). ``in_lookup``
+    is the input resolution's host_bitmap (or its sorted yxz keys)."""
     k, s, p = _as3(kernel), _as3(stride), _as3(padding)
+    if not isinstance(in_lookup, tuple):
+        in_lookup = host_bitmap(in_lookup, in_shape)
     oc = np.asarray(out_coords, np.int64)
     scaled = oc * np.asarray(s, np.int64)[None]
     dy = np.repeat(np.arange(k[1]), k[2])
@@ -227,7 +257,7 @@ def down_windows(out_coords, in_keys, in_shape, kernel, stride, padding):
     qy = scaled[:, 1, None] + dy[None] - p[1]
     qx = scaled[:, 2, None] + dx[None] - p[2]
     z0 = scaled[:, 0, None] - p[0]
-    r0, pres = _column_windows(in_keys, qy, qx, z0, k[0], in_shape)
+    r0, pres = _column_windows(in_lookup, qy, qx, z0, k[0], in_shape)
     pres &= (oc[:, 0] >= 0)[:, None, None]
     return _pack_windows(r0, pres)
 
@@ -290,18 +320,19 @@ def transition(coords, shape, kernel, stride, padding, max_out,
         return out, oshape
     # inverse rulebook from the same candidate enumeration (twin of the
     # fused build in stage_transition_batch): rank/presence against the
-    # KEPT output set's yxz keys
-    kept_yxz = np.sort(yxz)
+    # KEPT output set, via its host bitmap (no searchsorted)
+    base_t, bits_t = host_bitmap(np.sort(yxz), oshape)
     okb_yx = np.broadcast_to(okb[1] & okb[2], full)
     okbf = okb_yx & np.broadcast_to(okb[0], full)
     col = np.where(okb_yx, np.broadcast_to(oy * wo + ox, full), 0)
-    zc = np.clip(np.broadcast_to(oz, full), 0, 31)
-    rank = np.searchsorted(kept_yxz, col * do + zc).astype(np.int32)
-    qkey = col * do + np.broadcast_to(oz, full)
-    pos = np.searchsorted(kept_yxz, qkey)
-    m = max(kept_yxz.shape[0], 1)
-    present = (kept_yxz[np.minimum(pos, m - 1)] == qkey) if n else \
-        np.zeros(full, bool)
+    word = bits_t[col]
+    zc = np.clip(np.broadcast_to(oz, full), 0, 31).astype(np.uint64)
+    rank = (base_t[col].astype(np.int64) + np.bitwise_count(
+        word & ((np.uint64(1) << zc) - np.uint64(1)))).astype(np.int32)
+    ozb = np.broadcast_to(oz, full)
+    inz = (ozb >= 0) & (ozb < do)
+    zq = np.where(inz, ozb, 0).astype(np.uint64)
+    present = inz & (((word >> zq) & np.uint64(1)) != 0)
     kept_c = okbf & present
     v = coords.shape[0]
     ncz, ncy, ncx = ncand
@@ -358,8 +389,8 @@ def build_plan(points, num_points, *, voxel_size, pc_range, grid_size,
         order0 = rank_order(coords, shape0)
         co = coords[order0]
         out["plan_order0"] = order0
-    keys = yxz_keys(co, shape0)
-    out["plan_s0"] = subm_windows(co, shape0, 3, keys=keys)
+    lk = host_bitmap(yxz_keys(co, shape0), shape0)
+    out["plan_s0"] = subm_windows(co, shape0, 3, lookup=lk)
 
     shape = shape0
     for i, st in enumerate(spec["stages"], start=1):
@@ -368,10 +399,10 @@ def build_plan(points, num_points, *, voxel_size, pc_range, grid_size,
         out_co, oshape = res[0], res[1]
         if train and len(res) > 2:
             out[f"plan_inv{i}"] = res[2]
-        out[f"plan_down{i}"] = down_windows(out_co, keys, shape, k, s, p)
+        out[f"plan_down{i}"] = down_windows(out_co, lk, shape, k, s, p)
         out[f"plan_co{i}"] = linearize(out_co, oshape)
-        keys = yxz_keys(out_co, oshape)
+        lk = host_bitmap(yxz_keys(out_co, oshape), oshape)
         if st["subm"]:
-            out[f"plan_subm{i}"] = subm_windows(out_co, oshape, 3, keys=keys)
+            out[f"plan_subm{i}"] = subm_windows(out_co, oshape, 3, lookup=lk)
         co, shape = out_co, oshape
     return out
