@@ -398,12 +398,38 @@ class MultiGroupHead(nn.Module):
             valid_all.append(v)
             label_offset += self.num_classes[task_id]
 
-        return {
+        return self._merge_tasks(boxes_all, scores_all, labels_all,
+                                 valid_all, test_cfg)
+
+    def _merge_tasks(self, boxes_all, scores_all, labels_all, valid_all,
+                     test_cfg):
+        """Concatenate per-task detections; honor ``max_per_img``.
+
+        Reference configs set max_per_img (e.g. examples/cbgs config:205
+        = 500) though the torch head never reads the key; here it is a
+        real global cross-task score cap so serving payloads are bounded
+        at the config's stated size (fixed-shape top_k, jit-friendly)."""
+        out = {
             "box3d_lidar": jnp.concatenate(boxes_all, axis=1),
             "scores": jnp.concatenate(scores_all, axis=1),
             "label_preds": jnp.concatenate(labels_all, axis=1),
             "valid": jnp.concatenate(valid_all, axis=1),
         }
+        mpi = int((test_cfg.get("max_per_img", 0) if isinstance(test_cfg, dict)
+                   else getattr(test_cfg, "max_per_img", 0)) or 0)
+        d = out["scores"].shape[1]
+        if 0 < mpi < d:
+            masked = jnp.where(out["valid"], out["scores"], -jnp.inf)
+            _, idx = jax.lax.top_k(masked, mpi)
+            out = {
+                "box3d_lidar": jnp.take_along_axis(
+                    out["box3d_lidar"], idx[..., None], axis=1),
+                "scores": jnp.take_along_axis(out["scores"], idx, axis=1),
+                "label_preds": jnp.take_along_axis(out["label_preds"], idx,
+                                                   axis=1),
+                "valid": jnp.take_along_axis(out["valid"], idx, axis=1),
+            }
+        return out
 
     def predict_tta(self, example: Dict[str, Any], preds_dicts: List[dict],
                     test_cfg) -> Dict[str, jnp.ndarray]:
@@ -477,9 +503,5 @@ class MultiGroupHead(nn.Module):
             valid_all.append(v)
             label_offset += self.num_classes[task_id]
 
-        return {
-            "box3d_lidar": jnp.concatenate(boxes_all, axis=1),
-            "scores": jnp.concatenate(scores_all, axis=1),
-            "label_preds": jnp.concatenate(labels_all, axis=1),
-            "valid": jnp.concatenate(valid_all, axis=1),
-        }
+        return self._merge_tasks(boxes_all, scores_all, labels_all,
+                                 valid_all, test_cfg)

@@ -84,10 +84,82 @@ def _merge_static(template, restored):
     return restored
 
 
-def load_weights(state, directory: str, epoch: Optional[int] = None):
+def _flatten(tree, prefix=""):
+    out = {}
+    if isinstance(tree, dict) or hasattr(tree, "items"):
+        for k, v in tree.items():
+            out.update(_flatten(v, f"{prefix}{k}/"))
+    else:
+        out[prefix[:-1]] = np.asarray(tree)
+    return out
+
+
+def save_weights_npz(state, path: str) -> None:
+    """Portable weights-only export: params + batch_stats as one .npz with
+    '/'-joined keys. The publishable-artifact analogue of the reference's
+    model-zoo .pth files (torchie/trainer/checkpoint.py:176-215) — load
+    anywhere with ``load_weights(state, path_or_url)``."""
+    flat = {f"params/{k}": v
+            for k, v in _flatten(state.params).items()}
+    flat.update({f"batch_stats/{k}": v
+                 for k, v in _flatten(state.batch_stats).items()})
+    with open(path, "wb") as f:
+        np.savez(f, **flat)
+
+
+def _fetch_url(url: str) -> str:
+    """Download a remote weights file to the local cache (once)."""
+    import hashlib
+    import urllib.request
+
+    cache = os.path.join(os.path.expanduser("~"), ".cache", "det3d_tpu")
+    os.makedirs(cache, exist_ok=True)
+    name = (hashlib.sha1(url.encode()).hexdigest()[:16] + "_"
+            + os.path.basename(url.split("?")[0]))
+    dst = os.path.join(cache, name)
+    if not os.path.exists(dst):
+        tmp = dst + ".part"
+        with urllib.request.urlopen(url) as r, open(tmp, "wb") as f:
+            while True:
+                chunk = r.read(1 << 20)
+                if not chunk:
+                    break
+                f.write(chunk)
+        os.replace(tmp, dst)
+    return dst
+
+
+def load_weights(state, src: str, epoch: Optional[int] = None):
     """Weights-only load for finetune (reference cfg.load_from semantics,
-    apis/train.py:320-323): params + batch_stats, optimizer state untouched."""
-    mgr = CheckpointManager(directory)
+    apis/train.py:320-323): params + batch_stats, optimizer state
+    untouched.
+
+    ``src`` dispatches like the reference's load_checkpoint
+    (torchie/trainer/checkpoint.py:121-174 — filepath / URL / zoo):
+      * http(s):// or file:// URL of an .npz  -> downloaded to
+        ~/.cache/det3d_tpu once, then loaded;
+      * a local .npz (from ``save_weights_npz``);
+      * an orbax checkpoint work dir (the default local form).
+    """
+    if src.startswith(("http://", "https://", "file://")):
+        src = _fetch_url(src)
+    if os.path.isfile(src):
+        with np.load(src) as z:
+            flat = {k: z[k] for k in z.files}
+
+        def fill(template, section):
+            def one(path, t):
+                key = section + "/" + "/".join(
+                    str(getattr(p, "key", p)) for p in path)
+                if key not in flat:
+                    raise KeyError(f"weights file {src} missing {key}")
+                return np.asarray(flat[key], t.dtype)
+            return jax.tree_util.tree_map_with_path(one, template)
+
+        return state.replace(
+            params=fill(state.params, "params"),
+            batch_stats=fill(state.batch_stats, "batch_stats"))
+    mgr = CheckpointManager(src)
     restored, _ = mgr.restore(state, epoch)
     out = state.replace(params=restored.params,
                         batch_stats=restored.batch_stats)

@@ -61,6 +61,42 @@ def test_weights_only_finetune_load(tmp_path):
     assert int(loaded.step) == 0
 
 
+def test_weights_npz_roundtrip_and_url_load(tmp_path):
+    """Portable .npz weights export loads back locally AND through the
+    URL dispatch path (file:// exercises the same download-to-cache code
+    http(s):// uses; reference checkpoint.py:121-174 parity)."""
+    import optax
+    from det3d_tpu.parallel.train import TrainState
+    from det3d_tpu.runtime.checkpoint import load_weights, save_weights_npz
+
+    tx = optax.adam(1e-3)
+    params = {"layer": {"w": jnp.full((3, 2), 2.5), "b": jnp.ones((2,))}}
+    state = TrainState.create(params, {"bn": {"mean": jnp.ones((4,))}}, tx)
+    path = tmp_path / "weights.npz"
+    save_weights_npz(state, str(path))
+
+    fresh = TrainState.create(
+        {"layer": {"w": jnp.zeros((3, 2)), "b": jnp.zeros((2,))}},
+        {"bn": {"mean": jnp.zeros((4,))}}, tx)
+    loaded = load_weights(fresh, str(path))
+    np.testing.assert_allclose(np.asarray(loaded.params["layer"]["w"]), 2.5)
+    np.testing.assert_allclose(np.asarray(loaded.batch_stats["bn"]["mean"]),
+                               1.0)
+
+    loaded2 = load_weights(fresh, path.as_uri())       # file:// URL
+    np.testing.assert_allclose(np.asarray(loaded2.params["layer"]["b"]), 1.0)
+
+    # a template key absent from the file is an explicit error
+    bigger = TrainState.create(
+        {"layer": {"w": jnp.zeros((3, 2))}, "extra": jnp.zeros((1,))},
+        {}, tx)
+    try:
+        load_weights(bigger, str(path))
+        assert False, "expected KeyError for missing params"
+    except KeyError:
+        pass
+
+
 def test_tfevents_writer_readable_by_tensorboard(tmp_path):
     """Event files from the dependency-free writer must parse with the real
     TensorBoard reader (crc framing + proto encoding)."""

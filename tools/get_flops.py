@@ -70,6 +70,72 @@ def main():
     print(f"forward FLOPs:   {flops / 1e9:.2f} G")
     print(f"bytes accessed:  {byts / 1e9:.2f} GB")
 
+    # per-module breakdown (reference det3d/utils/flops_counter.py:59-446
+    # prints a per-module hook table; here every stage is lowered and
+    # cost-analyzed separately, so the split is the compiler's own
+    # schedule, not a hook estimate). Stage outputs chain via zeros of
+    # the previous stage's inferred shapes.
+    def cost(f, *inputs):
+        c = jax.jit(f).lower(*inputs).compile().cost_analysis()
+        c = c[0] if isinstance(c, list) else c
+        return c.get("flops", 0.0), c.get("bytes accessed", 0.0)
+
+    def zeros_of(shape_tree):
+        return jax.tree_util.tree_map(
+            lambda s: jnp.zeros(s.shape, s.dtype), shape_tree)
+
+    is_pp = type(model).__name__ == "PointPillars"
+
+    def vox_f(p, n):
+        return build_example({"points": p, "num_points": n}, voxel_gen,
+                             [], [], with_targets=False)
+
+    def reader_f(v, ex):
+        if is_pp:
+            return model.apply(v, method=lambda m: m.reader(
+                ex["voxels"], ex["num_points_per_voxel"],
+                ex["coordinates"], train=False))
+        return model.apply(v, method=lambda m: m.reader(
+            ex["voxels"], ex["num_points_per_voxel"], train=False))
+
+    def backbone_f(v, feats, coors):
+        return model.apply(v, method=lambda m: m.backbone(
+            feats, coors, m.grid_size, train=False))
+
+    def neck_f(v, x):
+        return model.apply(v, method=lambda m: m.neck(x, train=False))
+
+    def head_f(v, x):
+        return model.apply(v, method=lambda m: m.bbox_head(x, train=False))
+
+    rows = [("voxelize", *cost(vox_f, pts, npts))]
+    feats = zeros_of(jax.eval_shape(reader_f, variables, ex))
+    rows.append(("reader", *cost(reader_f, variables, ex)))
+    bb_out = zeros_of(jax.eval_shape(backbone_f, variables, feats,
+                                     ex["coordinates"]))
+    rows.append(("backbone", *cost(backbone_f, variables, feats,
+                                   ex["coordinates"])))
+    x = bb_out
+    if model.neck is not None:
+        rows.append(("neck", *cost(neck_f, variables, x)))
+        x = zeros_of(jax.eval_shape(neck_f, variables, x))
+    rows.append(("bbox_head", *cost(head_f, variables, x)))
+
+    def mod_params(name):
+        sub = variables["params"].get(name, {})
+        return sum(int(np.prod(v.shape))
+                   for v in jax.tree_util.tree_leaves(sub))
+
+    total_f = sum(r[1] for r in rows) or 1.0
+    print()
+    print(f"{'module':<12} {'GFLOPs':>10} {'%':>6} {'GB moved':>10} "
+          f"{'params (M)':>11}")
+    for name, f, by in rows:
+        print(f"{name:<12} {f / 1e9:>10.2f} {100 * f / total_f:>5.1f}% "
+              f"{by / 1e9:>10.3f} {mod_params(name) / 1e6:>11.3f}")
+    print("(stage sum can differ from the whole-program number: XLA fuses "
+          "across stage boundaries in the full forward)")
+
 
 if __name__ == "__main__":
     main()
