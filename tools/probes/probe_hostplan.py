@@ -46,13 +46,14 @@ def main():
 
     config = sys.argv[1] if len(sys.argv) > 1 else "configs/kitti_car_second.py"
     batch = int(sys.argv[2]) if len(sys.argv) > 2 else 2
+    points = int(sys.argv[3]) if len(sys.argv) > 3 else 18000
 
     cfg = Config.fromfile(config)
     model, voxel_gen, assigners, class_ids, _ = build_stack(cfg)
     pc_range = tuple(cfg["voxel_generator"]["range"])
     n_feats = cfg["model"]["reader"].get("num_input_features", 4)
 
-    b = structured_batch(batch, 18000, pc_range, seed=3)
+    b = structured_batch(batch, points, pc_range, seed=3)
     pts = np.asarray(b["points"])[..., :n_feats]
     if pts.shape[-1] < n_feats:
         pts = np.concatenate(
