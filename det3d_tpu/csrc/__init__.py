@@ -22,11 +22,13 @@ _DIR = Path(__file__).resolve().parent
 _BUILD = _DIR / "_build"
 _LIB: Optional[ctypes.CDLL] = None
 _TRIED = False
+_HP_LIB: Optional[ctypes.CDLL] = None
+_HP_TRIED = False
 
 
-def _compile() -> Optional[Path]:
-    src = _DIR / "pointops.cc"
-    out = _BUILD / "libpointops.so"
+def _compile(stem: str) -> Optional[Path]:
+    src = _DIR / f"{stem}.cc"
+    out = _BUILD / f"lib{stem}.so"
     if out.exists() and out.stat().st_mtime >= src.stat().st_mtime:
         return out
     _BUILD.mkdir(exist_ok=True)
@@ -42,19 +44,25 @@ def _compile() -> Optional[Path]:
         return None
 
 
+def _load(stem: str) -> Optional[ctypes.CDLL]:
+    if os.environ.get("DET3D_NATIVE", "1") == "0":
+        return None
+    path = _compile(stem)
+    if path is None:
+        return None
+    try:
+        return ctypes.CDLL(str(path))
+    except OSError:
+        return None
+
+
 def get_lib() -> Optional[ctypes.CDLL]:
     global _LIB, _TRIED
     if _LIB is not None or _TRIED:
         return _LIB
     _TRIED = True
-    if os.environ.get("DET3D_NATIVE", "1") == "0":
-        return None
-    path = _compile()
-    if path is None:
-        return None
-    try:
-        lib = ctypes.CDLL(str(path))
-    except OSError:
+    lib = _load("pointops")
+    if lib is None:
         return None
     i64 = ctypes.c_int64
     f32p = np.ctypeslib.ndpointer(np.float32, flags="C_CONTIGUOUS")
@@ -65,6 +73,36 @@ def get_lib() -> Optional[ctypes.CDLL]:
     lib.intersection_area.argtypes = [f64p, f64p, i64, f64p]
     _LIB = lib
     return _LIB
+
+
+def get_hostplan_lib() -> Optional[ctypes.CDLL]:
+    """Native host-plan builders (hostplan.cc) — C++ twins of the numpy
+    twins in ops/sparse_host.py, loaded lazily like get_lib()."""
+    global _HP_LIB, _HP_TRIED
+    if _HP_LIB is not None or _HP_TRIED:
+        return _HP_LIB
+    _HP_TRIED = True
+    lib = _load("hostplan")
+    if lib is None:
+        return None
+    i32, i64 = ctypes.c_int32, ctypes.c_int64
+    f32p = np.ctypeslib.ndpointer(np.float32, flags="C_CONTIGUOUS")
+    i32p = np.ctypeslib.ndpointer(np.int32, flags="C_CONTIGUOUS")
+    i64p = np.ctypeslib.ndpointer(np.int64, flags="C_CONTIGUOUS")
+    lib.hp_point_lin.argtypes = [f32p, i64, i64, i64, f32p, f32p,
+                                 i64, i64, i64, i32p]
+    lib.hp_point_order.argtypes = [i32p, i64, i64, i64, i64, i32, i32p]
+    lib.hp_voxel_coords.argtypes = [i32p, i32p, i64, i64, i64, i64, i32p]
+    lib.hp_subm_windows.argtypes = [i32p, i64, i64, i64, i64,
+                                    i64, i64, i64, i32p]
+    lib.hp_down_windows.argtypes = [i32p, i64, i32p, i64, i64, i64, i64,
+                                    i64p, i64p, i64p, i32p]
+    lib.hp_transition.argtypes = [i32p, i64, i64, i64, i64, i64p, i64p,
+                                  i64p, i64, i32, i32p, i32p,
+                                  ctypes.POINTER(i32)]
+    lib.hp_transition.restype = i64
+    _HP_LIB = lib
+    return _HP_LIB
 
 
 def points_in_rbbox(points, boxes):

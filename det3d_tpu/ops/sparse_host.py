@@ -38,6 +38,22 @@ _PACK_SHIFT = 24
 _PACK_MASK = (1 << _PACK_SHIFT) - 1
 
 
+def _hp():
+    """Native (C++) twins of these builders — csrc/hostplan.cc, ~40 numpy
+    full-array passes per stage collapsed into single cache-friendly loops
+    (round-5 VERDICT item: the 433-639 ms/sample numpy build).
+    Bit-exactness holds transitively: tests/test_host_plan.py runs with the
+    native path on and still asserts raw equality against the device
+    builders; tests/test_host_plan_native.py additionally diffs native vs
+    numpy directly. ``DET3D_NATIVE=0`` disables (numpy is the fallback)."""
+    from det3d_tpu import csrc
+    return csrc.get_hostplan_lib()
+
+
+def _c3(v):
+    return np.ascontiguousarray(_as3(v), np.int64)
+
+
 def _as3(v) -> Tuple[int, int, int]:
     if isinstance(v, (int, np.integer)):
         return (int(v),) * 3
@@ -70,6 +86,13 @@ def point_lin(points, num_points, voxel_size, pc_range, grid_size):
     gx, gy, gz = grid_size
     vmin = np.asarray(pc_range[:3], np.float32)
     vs = np.asarray(voxel_size, np.float32)
+    lib = _hp()
+    if lib is not None:
+        out = np.empty(P, np.int32)
+        lib.hp_point_lin(np.ascontiguousarray(pts), P, pts.shape[1],
+                         int(num_points), np.ascontiguousarray(vmin),
+                         np.ascontiguousarray(vs), gx, gy, gz, out)
+        return out
     c = np.floor((pts[:, :3] - vmin) / vs).astype(np.int64)
     ok = (np.arange(P) < int(num_points))
     ok &= (c[:, 0] >= 0) & (c[:, 0] < gx)
@@ -97,6 +120,15 @@ def point_order(lin, grid_size, order):
     Shipped to the device as its ``perm`` override: the P-row sort — the
     dominant build_example cost on 300k-point sweeps — becomes a gather."""
     gx, gy, gz = grid_size
+    if order not in ("yxz", "hashed"):
+        raise ValueError(f"host plans need order 'hashed'/'yxz', got {order}")
+    lib = _hp()
+    if lib is not None:
+        lin32 = np.ascontiguousarray(lin, np.int32)
+        out = np.empty(lin32.shape[0], np.int32)
+        lib.hp_point_order(lin32, lin32.shape[0], gx, gy, gz,
+                           1 if order == "yxz" else 0, out)
+        return out
     lin = np.asarray(lin, np.int64)
     if order == "yxz":
         xx = lin % gx
@@ -121,9 +153,17 @@ def voxel_coords(lin, grid_size, max_voxels, order, perm=None):
     with -1 padding.
     """
     gx, gy, gz = grid_size
-    lin = np.asarray(lin, np.int64)
     if perm is None:
         perm = point_order(lin, grid_size, order)
+    lib = _hp()
+    if lib is not None:
+        lin32 = np.ascontiguousarray(lin, np.int32)
+        perm32 = np.ascontiguousarray(perm, np.int32)
+        out = np.empty((max_voxels, 3), np.int32)
+        lib.hp_voxel_coords(lin32, perm32, lin32.shape[0], gx, gy,
+                            max_voxels, out)
+        return out
+    lin = np.asarray(lin, np.int64)
     slin = lin[perm]
     svalid = slin != SENTINEL
     head = svalid.copy()
@@ -229,6 +269,13 @@ def subm_windows(coords, shape, kernel=3, keys=None, lookup=None):
     in yxz rank order. Returns (V, ky*kx) int32 packed."""
     k = _as3(kernel)
     pad = tuple(kk // 2 for kk in k)
+    lib = _hp()
+    if lib is not None:
+        co32 = np.ascontiguousarray(coords, np.int32)
+        out = np.empty((co32.shape[0], k[1] * k[2]), np.int32)
+        lib.hp_subm_windows(co32, co32.shape[0], shape[0], shape[1],
+                            shape[2], k[0], k[1], k[2], out)
+        return out
     if lookup is None:
         lookup = host_bitmap(yxz_keys(coords, shape) if keys is None
                              else keys, shape)
@@ -243,11 +290,23 @@ def subm_windows(coords, shape, kernel=3, keys=None, lookup=None):
     return _pack_windows(r0, pres)
 
 
-def down_windows(out_coords, in_lookup, in_shape, kernel, stride, padding):
+def down_windows(out_coords, in_lookup, in_shape, kernel, stride, padding,
+                 in_coords=None):
     """Packed strided-conv window rulebook in INPUT rank space. Twin of
     ops/sparse.py::conv_window_rulebook_batch (one sample). ``in_lookup``
-    is the input resolution's host_bitmap (or its sorted yxz keys)."""
+    is the input resolution's host_bitmap (or its sorted yxz keys);
+    ``in_coords`` (rank-ordered input rows) enables the native path, which
+    builds its own bitmap."""
     k, s, p = _as3(kernel), _as3(stride), _as3(padding)
+    lib = _hp()
+    if lib is not None and in_coords is not None:
+        oc32 = np.ascontiguousarray(out_coords, np.int32)
+        ic32 = np.ascontiguousarray(in_coords, np.int32)
+        out = np.empty((oc32.shape[0], k[1] * k[2]), np.int32)
+        lib.hp_down_windows(oc32, oc32.shape[0], ic32, ic32.shape[0],
+                            in_shape[0], in_shape[1], in_shape[2],
+                            _c3(k), _c3(s), _c3(p), out)
+        return out
     if not isinstance(in_lookup, tuple):
         in_lookup = host_bitmap(in_lookup, in_shape)
     oc = np.asarray(out_coords, np.int64)
@@ -299,6 +358,24 @@ def transition(coords, shape, kernel, stride, padding, max_out,
     k, s, p = _as3(kernel), _as3(stride), _as3(padding)
     oshape = out_spatial_shape(shape, k, s, p)
     do, ho, wo = oshape
+    lib = _hp()
+    if lib is not None:
+        import ctypes
+        co32 = np.ascontiguousarray(coords, np.int32)
+        v = co32.shape[0]
+        ncand = tuple(-(-k[d] // s[d]) for d in range(3))
+        want_inv = build_inverse and max(ncand) <= 2
+        out = np.empty((max_out, 3), np.int32)
+        inv = (np.empty((v, ncand[1] * ncand[2]), np.int32) if want_inv
+               else np.empty((1, 1), np.int32))
+        built = ctypes.c_int32(0)
+        lib.hp_transition(co32, v, shape[0], shape[1], shape[2],
+                          _c3(k), _c3(s), _c3(p), max_out,
+                          1 if want_inv else 0, out, inv,
+                          ctypes.byref(built))
+        if built.value:
+            return out, oshape, inv
+        return out, oshape
     oz, oy, ox, ok, okb, ncand = _down_candidates(coords, shape, k, s, p,
                                                   oshape)
     full = ok.shape
@@ -389,7 +466,8 @@ def build_plan(points, num_points, *, voxel_size, pc_range, grid_size,
         order0 = rank_order(coords, shape0)
         co = coords[order0]
         out["plan_order0"] = order0
-    lk = host_bitmap(yxz_keys(co, shape0), shape0)
+    nat = _hp() is not None     # native path builds its own bitmaps
+    lk = None if nat else host_bitmap(yxz_keys(co, shape0), shape0)
     out["plan_s0"] = subm_windows(co, shape0, 3, lookup=lk)
 
     shape = shape0
@@ -399,9 +477,10 @@ def build_plan(points, num_points, *, voxel_size, pc_range, grid_size,
         out_co, oshape = res[0], res[1]
         if train and len(res) > 2:
             out[f"plan_inv{i}"] = res[2]
-        out[f"plan_down{i}"] = down_windows(out_co, lk, shape, k, s, p)
+        out[f"plan_down{i}"] = down_windows(out_co, lk, shape, k, s, p,
+                                            in_coords=co)
         out[f"plan_co{i}"] = linearize(out_co, oshape)
-        lk = host_bitmap(yxz_keys(out_co, oshape), oshape)
+        lk = None if nat else host_bitmap(yxz_keys(out_co, oshape), oshape)
         if st["subm"]:
             out[f"plan_subm{i}"] = subm_windows(out_co, oshape, 3, lookup=lk)
         co, shape = out_co, oshape

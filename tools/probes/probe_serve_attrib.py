@@ -59,8 +59,9 @@ def main():
     data = {"points": jnp.asarray(pts),
             "num_points": jnp.asarray(b["num_points"])}
     plan_fn = host_plan_fn(model, voxel_gen, train=False)
-    plan = plan_fn(pts, np.asarray(b["num_points"]))
-    data.update({k: jnp.asarray(v) for k, v in plan.items()})
+    if plan_fn is not None:                    # dense models have no plan
+        plan = plan_fn(pts, np.asarray(b["num_points"]))
+        data.update({k: jnp.asarray(v) for k, v in plan.items()})
 
     example = build_example(data, voxel_gen, [], [], with_targets=False)
     variables = jax.jit(model.init, static_argnames=("train",))(
