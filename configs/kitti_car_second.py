@@ -38,8 +38,12 @@ box_coder = dict(type="ground_box3d_coder", n_dim=7, linear_dim=False,
 model = dict(
     type="VoxelNet",
     reader=dict(type="VoxelFeatureExtractorV3", num_input_features=4),
+    # serve_band: plan-fed serving runs subm convs on the banded one-hot
+    # matmul kernel (ops/band_conv.py); bucket covers the measured
+    # per-256-row-block target spread (<= 666 on structured scans;
+    # host_plan_fn certifies each batch and raises if exceeded)
     backbone=dict(type="SpMiddleFHD", num_input_features=4, ds_factor=8,
-                  norm_cfg=norm_cfg),
+                  norm_cfg=norm_cfg, serve_band=768),
     neck=dict(type="RPN", layer_nums=[5], ds_layer_strides=[1],
               ds_num_filters=[128], us_layer_strides=[1],
               us_num_filters=[128], num_input_features=128,

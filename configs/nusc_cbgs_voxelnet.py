@@ -35,8 +35,13 @@ model = dict(
     # dense_from=2: res2 of the 60k-voxel middle is ~8% occupied — dense
     # conv3d beats rulebook gathers there (measured 245 -> 192 ms/scan
     # predict @ B=2 on v5e, docs/DESIGN_NOTES.md section 8)
+    # serve_band: plan-fed serving runs subm convs on the banded one-hot
+    # matmul kernel (ops/band_conv.py); bucket covers the measured
+    # per-256-row-block target spread (<= 1320 on structured 300k-point
+    # scans; host_plan_fn certifies each batch and raises if exceeded)
     backbone=dict(type="SpMiddleResNetFHD", num_input_features=5,
-                  ds_factor=8, norm_cfg=norm_cfg, dense_from=2),
+                  ds_factor=8, norm_cfg=norm_cfg, dense_from=2,
+                  serve_band=1536),
     neck=dict(type="RPN", layer_nums=[5, 5], ds_layer_strides=[1, 2],
               ds_num_filters=[128, 256], us_layer_strides=[1, 2],
               us_num_filters=[256, 256], num_input_features=256,

@@ -82,7 +82,8 @@ def inject_host_plan(cfg, model, voxel_gen, split: str = "train",
     return True
 
 
-def host_plan_fn(model, voxel_gen, train: bool = False):
+def host_plan_fn(model, voxel_gen, train: bool = False,
+                 voxelize: bool = False):
     """Serving-path twin of ``inject_host_plan``: a callable that builds
     the packed host rulebook plans for an in-memory numpy batch.
 
@@ -92,16 +93,30 @@ def host_plan_fn(model, voxel_gen, train: bool = False):
     voxelizer order has no host twin. Serving systems call this in their
     request pre-processing thread — the same place the reference runs its
     CPU voxelizer (tools/dist_test.py:179-217 keeps it outside the timed
-    region) — so the device step spends zero time on rulebook builds."""
+    region) — so the device step spends zero time on rulebook builds.
+
+    ``voxelize=True`` additionally voxelizes on the host
+    (ops/voxelize_host.py): the returned plan carries the example's
+    ``voxels``/``coordinates``/... keys and the jitted step skips
+    voxelization entirely (build_example passthrough) — and this works for
+    DENSE (pillar) models too, for which the rulebook plan is empty."""
     import numpy as np
     from det3d_tpu.models.backbones import middle_plan_spec
     from det3d_tpu.ops import sparse_host as sph
 
     backbone = getattr(model, "backbone", None)
-    if backbone is None or "SpMiddle" not in type(backbone).__name__:
-        return None
-    if voxel_gen.effective_order not in ("hashed", "yxz"):
-        return None
+    sparse_mid = (backbone is not None
+                  and "SpMiddle" in type(backbone).__name__
+                  and voxel_gen.effective_order in ("hashed", "yxz"))
+    if not sparse_mid:
+        if not voxelize:
+            return None
+        from det3d_tpu.ops.voxelize_host import host_voxelize_batch
+
+        def vox_fn(points, num_points):
+            return host_voxelize_batch(points, num_points, voxel_gen)
+
+        return vox_fn
     spec = middle_plan_spec(backbone, voxel_gen.grid_size,
                             voxel_gen.max_voxels)
     kw = dict(voxel_size=tuple(voxel_gen.voxel_size),
@@ -110,12 +125,48 @@ def host_plan_fn(model, voxel_gen, train: bool = False):
               max_voxels=int(voxel_gen.max_voxels),
               order=voxel_gen.effective_order, spec=spec, train=train)
 
+    serve_band = None if train else getattr(backbone, "serve_band", None)
+
     def fn(points, num_points):
         points = np.asarray(points)
         num_points = np.asarray(num_points)
         plans = [sph.build_plan(points[i], num_points[i], **kw)
                  for i in range(points.shape[0])]
-        return {k: np.stack([p[k] for p in plans]) for k in plans[0]}
+        out = {k: np.stack([p[k] for p in plans]) for k in plans[0]}
+        if voxelize:
+            from det3d_tpu.ops.voxelize_host import host_voxelize
+            vkw = dict(voxel_size=tuple(voxel_gen.voxel_size),
+                       pc_range=tuple(voxel_gen.point_cloud_range),
+                       grid_size=tuple(voxel_gen.grid_size),
+                       max_voxels=int(voxel_gen.max_voxels),
+                       max_points=int(voxel_gen.max_num_points),
+                       order=voxel_gen.order,
+                       fuse_mean=bool(voxel_gen.fuse_mean))
+            # the plan already owns lin/perm — voxelize without resorting
+            vox = [host_voxelize(points[i], num_points[i],
+                                 lin=p["point_lin"], perm=p["point_perm"],
+                                 **vkw)
+                   for i, p in enumerate(plans)]
+            out.update({
+                "voxels": np.stack([d["voxels"] for d in vox]),
+                "coordinates": np.stack([d["coords"] for d in vox]),
+                "num_points_per_voxel": np.stack(
+                    [d["num_points_per_voxel"] for d in vox]),
+                "num_voxels": np.stack([d["num_voxels"] for d in vox])})
+            # lin/perm fed the device voxelizer, which the passthrough skips
+            out.pop("point_lin", None)
+            out.pop("point_perm", None)
+        if serve_band is not None:
+            # the banded-matmul subm conv (ops/band_conv.py) silently
+            # mis-fetches targets beyond its compiled bucket — certify
+            # every subm stage of every scan before the batch ships
+            from det3d_tpu.ops.band_conv import certify_plan_bands
+            if not certify_plan_bands(out, int(serve_band)):
+                raise ValueError(
+                    f"host plan exceeds serve_band={serve_band}: raise the "
+                    "middle's serve_band (recompiles the predict step) or "
+                    "set it to None for the slice-gather path")
+        return out
 
     return fn
 

@@ -101,6 +101,15 @@ def get_hostplan_lib() -> Optional[ctypes.CDLL]:
                                   i64p, i64, i32, i32p, i32p,
                                   ctypes.POINTER(i32)]
     lib.hp_transition.restype = i64
+    lib.hp_voxelize_sorted.argtypes = [f32p, i64, i64, i32p, i32p, i64,
+                                       i64, i64, i64, i32, f32p, i32p, i32p]
+    lib.hp_voxelize_sorted.restype = i64
+    lib.hp_voxelize_appearance.argtypes = [f32p, i64, i64, i32p, i32p, i64,
+                                           i64, i64, i64, f32p, i32p, i32p]
+    lib.hp_voxelize_appearance.restype = i64
+    lib.hp_argsort_lin.argtypes = [i32p, i64, i32p]
+    lib.hp_block_band.argtypes = [i32p, i64, i64, i64]
+    lib.hp_block_band.restype = i64
     _HP_LIB = lib
     return _HP_LIB
 

@@ -444,4 +444,156 @@ int64_t hp_transition(const int32_t* coords, int64_t v, int64_t d, int64_t h,
   return n;
 }
 
+// ---------------------------------------------------------------------------
+// Host voxelization twins (ops/voxelize_host.py; device: core/voxelize.py)
+// ---------------------------------------------------------------------------
+
+// Sorted (hashed/yxz) voxelization: fill the (V, T, C) buffer (or (V, C)
+// sums when fuse_mean), coords, counts. perm must be the stable
+// (key, lin)-lexsort from hp_point_order (or np.argsort(lin) for
+// "appearance" — see hp_voxelize_appearance). Returns num_voxels.
+int64_t hp_voxelize_sorted(const float* pts, int64_t p_rows, int64_t c,
+                           const int32_t* lin, const int32_t* perm,
+                           int64_t gx, int64_t gy, int64_t v_cap,
+                           int64_t t_cap, int32_t fuse_mean, float* voxels,
+                           int32_t* coords, int32_t* counts) {
+  const int64_t vox_row = fuse_mean ? c : t_cap * c;
+  std::memset(voxels, 0, sizeof(float) * v_cap * vox_row);
+  std::memset(counts, 0, sizeof(int32_t) * v_cap);
+  for (int64_t i = 0; i < v_cap * 3; ++i) coords[i] = -1;
+
+  int64_t n_heads = 0, seg = -1, start = 0;
+  int64_t prev = -1;
+  for (int64_t i = 0; i < p_rows; ++i) {
+    int64_t l = lin[perm[i]];
+    if (l == kSentinel) break;  // sentinels sort last under both keys
+    if (l != prev) {
+      ++n_heads;
+      seg = n_heads - 1;
+      start = i;
+      prev = l;
+      if (seg < v_cap) {
+        coords[seg * 3 + 0] = static_cast<int32_t>(l / (gx * gy));
+        coords[seg * 3 + 1] = static_cast<int32_t>((l / gx) % gy);
+        coords[seg * 3 + 2] = static_cast<int32_t>(l % gx);
+      }
+    }
+    int64_t slot = i - start;
+    if (seg >= v_cap || slot >= t_cap) continue;
+    const float* src = pts + static_cast<int64_t>(perm[i]) * c;
+    ++counts[seg];
+    if (fuse_mean) {
+      float* dst = voxels + seg * c;
+      for (int64_t ch = 0; ch < c; ++ch) dst[ch] += src[ch];
+    } else {
+      std::memcpy(voxels + (seg * t_cap + slot) * c, src,
+                  sizeof(float) * c);
+    }
+  }
+  if (fuse_mean) {  // means = sums / max(counts, 1) — fp32 DIVISION, not
+    for (int64_t s = 0; s < v_cap; ++s) {  // reciprocal-multiply (device)
+      float n = static_cast<float>(counts[s] > 1 ? counts[s] : 1);
+      for (int64_t ch = 0; ch < c; ++ch) voxels[s * c + ch] /= n;
+    }
+  }
+  return n_heads < v_cap ? n_heads : v_cap;
+}
+
+// Appearance-ordered voxelization (twin of voxelize_host._appearance /
+// core/voxelize.py::voxelize "appearance"): voxel rows in first-come
+// order. order must be the stable argsort of lin. Returns num_voxels.
+int64_t hp_voxelize_appearance(const float* pts, int64_t p_rows, int64_t c,
+                               const int32_t* lin, const int32_t* order,
+                               int64_t gx, int64_t gy, int64_t v_cap,
+                               int64_t t_cap, float* voxels, int32_t* coords,
+                               int32_t* counts) {
+  std::memset(voxels, 0, sizeof(float) * v_cap * t_cap * c);
+  std::memset(counts, 0, sizeof(int32_t) * v_cap);
+  for (int64_t i = 0; i < v_cap * 3; ++i) coords[i] = -1;
+
+  // pass 1: segments of the lin-sorted order; first original index per
+  // segment == order[segment start] (stable sort keeps original order
+  // within equal lin)
+  std::vector<int64_t> seg_start, seg_first, seg_lin;
+  int64_t prev = -1;
+  for (int64_t i = 0; i < p_rows; ++i) {
+    int64_t l = lin[order[i]];
+    if (l == kSentinel) break;
+    if (l != prev) {
+      seg_start.push_back(i);
+      seg_first.push_back(order[i]);
+      seg_lin.push_back(l);
+      prev = l;
+    }
+  }
+  const int64_t n_seg = static_cast<int64_t>(seg_start.size());
+
+  // rank segments by first appearance
+  std::vector<int32_t> by_first(n_seg);
+  for (int64_t s = 0; s < n_seg; ++s) by_first[s] = static_cast<int32_t>(s);
+  std::stable_sort(by_first.begin(), by_first.end(),
+                   [&](int32_t a, int32_t b) {
+                     return seg_first[a] < seg_first[b];
+                   });
+  std::vector<int32_t> rank(n_seg);
+  for (int64_t r = 0; r < n_seg; ++r) rank[by_first[r]] = (int32_t)r;
+
+  // pass 2: fill
+  for (int64_t s = 0; s < n_seg; ++s) {
+    int64_t slot_v = rank[s];
+    if (slot_v >= v_cap) continue;
+    int64_t l = seg_lin[s];
+    coords[slot_v * 3 + 0] = static_cast<int32_t>(l / (gx * gy));
+    coords[slot_v * 3 + 1] = static_cast<int32_t>((l / gx) % gy);
+    coords[slot_v * 3 + 2] = static_cast<int32_t>(l % gx);
+    int64_t end = s + 1 < n_seg ? seg_start[s + 1] : p_rows;
+    int64_t n = 0;
+    for (int64_t i = seg_start[s]; i < end; ++i) {
+      int64_t l2 = lin[order[i]];
+      if (l2 != l) break;  // (only hit at the sentinel tail boundary)
+      if (n >= t_cap) { ++n; continue; }
+      std::memcpy(voxels + (slot_v * t_cap + n) * c,
+                  pts + static_cast<int64_t>(order[i]) * c,
+                  sizeof(float) * c);
+      ++n;
+    }
+    counts[slot_v] = static_cast<int32_t>(n < t_cap ? n : t_cap);
+  }
+  return n_seg < v_cap ? n_seg : v_cap;
+}
+
+// Max per-block (block_rows rows) spread of present target ranks in a
+// packed window rulebook — the band bucket band_window_conv needs
+// (twin of ops/band_conv.py::plan_band, minus the +kz headroom).
+int64_t hp_block_band(const int32_t* packed, int64_t v, int64_t k,
+                      int64_t block_rows) {
+  int64_t band = 0;
+  for (int64_t b0 = 0; b0 < v; b0 += block_rows) {
+    int64_t hi = -1, lo = INT64_MAX;
+    int64_t end = b0 + block_rows < v ? b0 + block_rows : v;
+    for (int64_t i = b0 * k; i < end * k; ++i) {
+      int32_t p = packed[i];
+      if ((p >> kPackShift) == 0) continue;
+      int64_t r = p & kPackMask;
+      if (r > hi) hi = r;
+      if (r < lo) lo = r;
+    }
+    if (hi >= 0 && hi - lo > band) band = hi - lo;
+  }
+  return band;
+}
+
+// Stable argsort of lin alone (appearance order's point perm).
+void hp_argsort_lin(const int32_t* lin, int64_t p_rows, int32_t* out) {
+  std::vector<uint64_t>& a = g_radix[0];
+  std::vector<uint64_t>& tmp = g_radix[1];
+  a.resize(p_rows);
+  for (int64_t i = 0; i < p_rows; ++i)
+    a[i] = (static_cast<uint64_t>(static_cast<uint32_t>(lin[i]))
+            << kIdxBits) | static_cast<uint64_t>(i);
+  radix_sort(a, tmp);
+  for (int64_t i = 0; i < p_rows; ++i)
+    out[i] = static_cast<int32_t>(a[i] & ((uint64_t{1} << kIdxBits) - 1));
+}
+
 }  // extern "C"

@@ -86,6 +86,11 @@ class SparseConvBN(nn.Module):
     relu: bool = True
     use_norm: bool = True       # False = the Nobn variants (scn.py:200)
     precision: str = "fp32"
+    # band (static int): run subm side columns on the banded one-hot
+    # matmul kernel (ops/band_conv.py) instead of slice gathers — serving
+    # only (the owning middle passes it for plan-fed eval forward; the
+    # band is certified by apis.train.host_plan_fn)
+    band: Optional[int] = None
 
     @nn.compact
     def __call__(self, x, idx, mask, valid, train: bool = False,
@@ -106,7 +111,8 @@ class SparseConvBN(nn.Module):
             (kvol, cin, self.out_channels), jnp.float32)
         dt = act_dtype(self.precision)
         y = sp.apply_conv(x.astype(dt), idx, mask, w.astype(dt),
-                          z_shift_taps=z_taps, inverse=inverse)
+                          z_shift_taps=z_taps, inverse=inverse,
+                          band=None if train else self.band)
         if self.use_bias or not self.use_norm:
             y = y + self.param("bias", nn.initializers.zeros,
                                (self.out_channels,), jnp.float32)
@@ -127,17 +133,20 @@ class SparseBasicBlock(nn.Module):
     norm_cfg: Optional[dict] = None
     axis_name: Optional[str] = None
     precision: str = "fp32"
+    band: Optional[int] = None          # see SparseConvBN.band
 
     @nn.compact
     def __call__(self, x, idx, mask, valid, train: bool = False):
         zt = sp.center_column_taps(3)
         y = SparseConvBN(self.channels, self.norm_cfg, self.axis_name,
-                         use_bias=True, precision=self.precision)(
+                         use_bias=True, precision=self.precision,
+                         band=self.band)(
                              x, idx, mask, valid, train, z_taps=zt)
         y = SparseConvBN(self.channels, self.norm_cfg, self.axis_name,
                          use_bias=True, relu=False,
-                         precision=self.precision)(y, idx, mask, valid,
-                                                   train, z_taps=zt)
+                         precision=self.precision,
+                         band=self.band)(y, idx, mask, valid,
+                                         train, z_taps=zt)
         return nn.relu(x + y)
 
 
@@ -497,6 +506,16 @@ class SpMiddleFHD(nn.Module):
     dense_from: int = 3
     precision: str = "fp32"   # "bf16": half-width gathers/GEMMs, fp32 BN
     pre_ranked: bool = False  # rows already yxz-ranked (see _res0_lookup)
+    # serve_band: static band bucket for the banded one-hot matmul subm
+    # conv (ops/band_conv.py) on the PLAN-FED eval/serving forward; the
+    # host plan certifies every subm stage fits (host_plan_fn raises
+    # otherwise). None = slice-gather path everywhere.
+    serve_band: Optional[int] = None
+    # serve_precision: activation/weight dtype override for the PLAN-FED
+    # eval/serving forward only (train numerics untouched); "bf16" halves
+    # gathered bytes and runs the band/dense-tail matmuls at full MXU
+    # rate. BN/decode stay fp32 as everywhere.
+    serve_precision: Optional[str] = None
     name_str: str = "SpMiddleFHD"
 
     @nn.compact
@@ -509,15 +528,19 @@ class SpMiddleFHD(nn.Module):
         caps = [max(64, int(v * f)) for f in self.stage_caps]
         start = max(1, self.dense_from) if self.dense_tail else 4
         zt = sp.center_column_taps(3)
+        serving = plan is not None and not train
+        bnd = self.serve_band if serving else None
+        prec = (self.serve_precision if serving and self.serve_precision
+                else self.precision)
 
         def SCB(ch):
             return SparseConvBN(ch, cfg, ax, use_norm=self.use_norm,
-                                precision=self.precision)
+                                precision=prec, band=bnd)
 
         def DCB(ch, **kw):
             return DenseConvBN(ch, norm_cfg=cfg, axis_name=ax,
                                use_norm=self.use_norm,
-                               precision=self.precision, **kw)
+                               precision=prec, **kw)
 
         def stage(i, co, shape, k, s, p, lk, build_subm):
             if plan is not None:
@@ -600,6 +623,8 @@ class SpMiddleResNetFHD(nn.Module):
     dense_from: int = 3
     precision: str = "fp32"                              # see SpMiddleFHD
     pre_ranked: bool = False                             # see _res0_lookup
+    serve_band: Optional[int] = None                     # see SpMiddleFHD
+    serve_precision: Optional[str] = None                # see SpMiddleFHD
     name_str: str = "SpMiddleResNetFHD"
 
     @nn.compact
@@ -611,6 +636,10 @@ class SpMiddleResNetFHD(nn.Module):
         v = coords.shape[1]
         caps = [max(64, int(v * f)) for f in self.stage_caps]
         start = max(1, self.dense_from) if self.dense_tail else 4
+        serving = plan is not None and not train
+        bnd = self.serve_band if serving else None
+        pr = (self.serve_precision if serving and self.serve_precision
+              else self.precision)
 
         def stage(i, co, shape, k, s, p, lk, build_subm):
             if plan is not None:
@@ -630,13 +659,12 @@ class SpMiddleResNetFHD(nn.Module):
             sidx0, smask0 = sp.subm_window_rulebook_batch(coords, shape0, 3,
                                                           lookup0)
         valid0 = coords[:, :, 0] >= 0
-        pr = self.precision
-        x = SparseConvBN(16, cfg, ax, precision=pr)(
+        x = SparseConvBN(16, cfg, ax, precision=pr, band=bnd)(
             x, sidx0, smask0, valid0, train,
             z_taps=sp.center_column_taps(3))
-        x = SparseBasicBlock(16, cfg, ax, precision=pr)(
+        x = SparseBasicBlock(16, cfg, ax, precision=pr, band=bnd)(
             x, sidx0, smask0, valid0, train)
-        x = SparseBasicBlock(16, cfg, ax, precision=pr)(
+        x = SparseBasicBlock(16, cfg, ax, precision=pr, band=bnd)(
             x, sidx0, smask0, valid0, train)
 
         specs = [(32, 3, 2, 1), (64, 3, 2, 1), (128, 3, 2, (0, 1, 1))]
@@ -649,10 +677,10 @@ class SpMiddleResNetFHD(nn.Module):
                 valid = co[:, :, 0] >= 0
                 x = SparseConvBN(ch, cfg, ax, precision=pr)(
                     x, didx, dmask, valid, train, inverse=dinv)
-                x = SparseBasicBlock(ch, cfg, ax, precision=pr)(
-                    x, sidx, smask, valid, train)
-                x = SparseBasicBlock(ch, cfg, ax, precision=pr)(
-                    x, sidx, smask, valid, train)
+                x = SparseBasicBlock(ch, cfg, ax, precision=pr,
+                                     band=bnd)(x, sidx, smask, valid, train)
+                x = SparseBasicBlock(ch, cfg, ax, precision=pr,
+                                     band=bnd)(x, sidx, smask, valid, train)
             elif i == start:
                 co, didx, dmask, _, _, shape, _, dinv = stage(
                     i, co, shape, k, s, p, lk, False)
@@ -705,6 +733,8 @@ class SpMiddleFHDNobn(nn.Module):
     dense_tail: bool = True                              # see SpMiddleFHD
     dense_from: int = 3
     pre_ranked: bool = False
+    serve_band: Optional[int] = None                     # see SpMiddleFHD
+    serve_precision: Optional[str] = None                # see SpMiddleFHD
     name_str: str = "SpMiddleFHDNobn"
 
     @nn.compact
@@ -717,6 +747,8 @@ class SpMiddleFHDNobn(nn.Module):
                            dense_tail=self.dense_tail,
                            dense_from=self.dense_from,
                            pre_ranked=self.pre_ranked,
+                           serve_band=self.serve_band,
+                           serve_precision=self.serve_precision,
                            use_norm=False)(voxel_features, coords,
                                            input_shape, train, plan=plan)
 

@@ -333,7 +333,7 @@ def conv_rulebook(in_coords, in_shape, out_coords, kernel, stride, padding):
 
 
 def apply_conv(features, idx, mask, weights, z_shift_taps=None,
-               inverse=None):
+               inverse=None, band=None):
     """Gather-GEMM sparse convolution.
 
     features: (B, V, Cin); idx/mask: (B, O, K); weights: (K, Cin, Cout).
@@ -354,12 +354,23 @@ def apply_conv(features, idx, mask, weights, z_shift_taps=None,
     per-BEV-column window format (idx = r0 (B, O, Kbev), mask = pres
     (B, O, Kbev, kz)) and the conv runs on contiguous-rank window gathers
     instead of per-tap row gathers (see apply_conv_window).
+
+    ``band`` (static int, submanifold window rulebooks only): run the side
+    columns on the banded one-hot matmul Pallas kernel instead of slice
+    gathers (ops/band_conv.py — MXU work replaces the V x 8 DMA
+    descriptors). The caller certifies the band (host plans:
+    apis.train.host_plan_fn); serving/plan-fed forward only (no VJP).
     """
     if mask.ndim == 4:
         if inverse is not None:
             r0i, presi, par, kspec = inverse
             return apply_conv_window_inv(features, idx, mask, weights,
                                          r0i, presi, par, kspec)
+        if band is not None and z_shift_taps is not None:
+            from det3d_tpu.ops.band_conv import band_window_conv
+            interp = jax.devices()[0].platform != "tpu"
+            return band_window_conv(features, idx, mask, weights,
+                                    band=int(band), interpret=interp)
         return apply_conv_window(features, idx, mask, weights,
                                  z_shift_taps is not None)
     kvol = weights.shape[0]

@@ -73,10 +73,19 @@ def build_example(batch: Dict[str, jnp.ndarray],
     # point_lin/point_perm: host-precomputed voxel ids and sort order
     # riding along with a host rulebook plan (ops/sparse_host.py) — host
     # and device agree on every point's voxel by construction, and the
-    # device's P-row sort becomes one gather (core/voxelize.py overrides)
-    vox = voxel_generator.generate_batch(batch["points"], batch["num_points"],
-                                         lin=batch.get("point_lin"),
-                                         perm=batch.get("point_perm"))
+    # device's P-row sort becomes one gather (core/voxelize.py overrides).
+    # A batch carrying "voxels" was voxelized on the HOST entirely
+    # (ops/voxelize_host.py, the serving path — matching the reference's
+    # timed contract where CPU voxelization precedes the step): passthrough.
+    if "voxels" in batch:
+        vox = {"voxels": batch["voxels"],
+               "coords": batch["coordinates"],
+               "num_points_per_voxel": batch["num_points_per_voxel"],
+               "num_voxels": batch["num_voxels"]}
+    else:
+        vox = voxel_generator.generate_batch(
+            batch["points"], batch["num_points"],
+            lin=batch.get("point_lin"), perm=batch.get("point_perm"))
     batch_size = batch["points"].shape[0]
 
     example: Dict[str, Any] = {

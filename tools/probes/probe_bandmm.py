@@ -141,28 +141,52 @@ def main():
                   19000),
     ]
 
+    from det3d_tpu.ops.band_conv import band_window_conv as band_pallas
+
+    # production band buckets (measured per-block spreads on structured
+    # scans: CBGS s0 <= 1320, subm1 <= 867; SECOND <= 666): the probe times
+    # the kernel at the bucket it would actually be compiled with
+    buckets = {"cbgs_res0 C=16": 1536, "cbgs_res1 C=32": 1024,
+               "second_res0 C=16": 768}
+
     zt = sp.center_column_taps(3)
     for name, x, r0, pres, wgt, band in cases:
         D = int(np.ceil((band + 32) / 64) * 64)
+        S = buckets[name]
         base_f = jax.jit(lambda x, r0, pres, w: sp.apply_conv(
             x, r0, pres, w, z_shift_taps=zt))
         band_f = jax.jit(lambda x, r0, pres, w: band_window_conv(
             x, r0, pres, w, D))
+        pallas_f = jax.jit(lambda x, r0, pres, w: band_pallas(
+            x, r0, pres, w, band=S))
+        pallas_bf_f = jax.jit(lambda x, r0, pres, w: band_pallas(
+            x.astype(jnp.bfloat16), r0, pres, w.astype(jnp.bfloat16),
+            band=S))
         y_base = np.asarray(base_f(x, r0, pres, wgt))
         y_band = np.asarray(band_f(x, r0, pres, wgt))
+        y_pal = np.asarray(pallas_f(x, r0, pres, wgt))
         err = np.abs(y_base - y_band).max() / (np.abs(y_base).max() + 1e-9)
+        errp = np.abs(y_base - y_pal).max() / (np.abs(y_base).max() + 1e-9)
         out = [None]
         def fb():
             out[0] = base_f(x, r0, pres, wgt)
         def fn():
             out[0] = band_f(x, r0, pres, wgt)
+        def fp():
+            out[0] = pallas_f(x, r0, pres, wgt)
+        def fpb():
+            out[0] = pallas_bf_f(x, r0, pres, wgt)
         def fence():
             float(out[0].sum())
         t_base = timeit(fb, fence)
         t_band = timeit(fn, fence)
-        print(f"{name}: band={band} D={D} rel_err={err:.2e} "
-              f"gather={t_base*1e3:.2f} ms  bandmm={t_band*1e3:.2f} ms "
-              f"({t_base/t_band:.2f}x)")
+        t_pal = timeit(fp, fence)
+        t_palb = timeit(fpb, fence)
+        print(f"{name}: band={band} D={D} S={S} rel_err={err:.2e}/{errp:.2e} "
+              f"gather={t_base*1e3:.2f} ms  xla-bandmm={t_band*1e3:.2f} ms "
+              f"({t_base/t_band:.2f}x)  pallas={t_pal*1e3:.2f} ms "
+              f"({t_base/t_pal:.2f}x)  pallas-bf16={t_palb*1e3:.2f} ms "
+              f"({t_base/t_palb:.2f}x)")
 
 
 if __name__ == "__main__":
