@@ -42,8 +42,12 @@ model = dict(
     # matmul kernel (ops/band_conv.py); bucket covers the measured
     # per-256-row-block target spread (<= 666 on structured scans;
     # host_plan_fn certifies each batch and raises if exceeded)
+    # serve_precision: plan-fed serving runs the middle's gathers/GEMMs
+    # (incl. the band kernel's fetch matmuls) on bf16 — the kernel's dot
+    # was measured fp32-bound (bf16x3 passes); BN/decode stay fp32.
     backbone=dict(type="SpMiddleFHD", num_input_features=4, ds_factor=8,
-                  norm_cfg=norm_cfg, serve_band=768),
+                  norm_cfg=norm_cfg, serve_band=768,
+                  serve_precision="bf16"),
     neck=dict(type="RPN", layer_nums=[5], ds_layer_strides=[1],
               ds_num_filters=[128], us_layer_strides=[1],
               us_num_filters=[128], num_input_features=128,

@@ -39,9 +39,11 @@ model = dict(
     # matmul kernel (ops/band_conv.py); bucket covers the measured
     # per-256-row-block target spread (<= 1320 on structured 300k-point
     # scans; host_plan_fn certifies each batch and raises if exceeded)
+    # serve_precision: plan-fed serving runs the middle (band fetch
+    # matmuls + dense conv3d tail) on bf16; BN/decode stay fp32.
     backbone=dict(type="SpMiddleResNetFHD", num_input_features=5,
                   ds_factor=8, norm_cfg=norm_cfg, dense_from=2,
-                  serve_band=1536),
+                  serve_band=1536, serve_precision="bf16"),
     neck=dict(type="RPN", layer_nums=[5, 5], ds_layer_strides=[1, 2],
               ds_num_filters=[128, 256], us_layer_strides=[1, 2],
               us_num_filters=[256, 256], num_input_features=256,
