@@ -47,7 +47,8 @@ model = dict(
     # was measured fp32-bound (bf16x3 passes); BN/decode stay fp32.
     backbone=dict(type="SpMiddleFHD", num_input_features=4, ds_factor=8,
                   norm_cfg=norm_cfg, serve_band=768,
-                  serve_precision="bf16"),
+                  # per-column sub-bands: measured per-col spread <= 508
+                  serve_col_band=640, serve_precision="bf16"),
     neck=dict(type="RPN", layer_nums=[5], ds_layer_strides=[1],
               ds_num_filters=[128], us_layer_strides=[1],
               us_num_filters=[128], num_input_features=128,

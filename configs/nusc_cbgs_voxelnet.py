@@ -43,7 +43,9 @@ model = dict(
     # matmuls + dense conv3d tail) on bf16; BN/decode stay fp32.
     backbone=dict(type="SpMiddleResNetFHD", num_input_features=5,
                   ds_factor=8, norm_cfg=norm_cfg, dense_from=2,
-                  serve_band=1536, serve_precision="bf16"),
+                  serve_band=1536,
+                  # per-column sub-bands: measured per-col spread <= 596
+                  serve_col_band=768, serve_precision="bf16"),
     neck=dict(type="RPN", layer_nums=[5, 5], ds_layer_strides=[1, 2],
               ds_num_filters=[128, 256], us_layer_strides=[1, 2],
               us_num_filters=[256, 256], num_input_features=256,

@@ -161,11 +161,17 @@ def host_plan_fn(model, voxel_gen, train: bool = False,
             # mis-fetches targets beyond its compiled bucket — certify
             # every subm stage of every scan before the batch ships
             from det3d_tpu.ops.band_conv import certify_plan_bands
-            if not certify_plan_bands(out, int(serve_band)):
+            col_band = getattr(backbone, "serve_col_band", None)
+            if not certify_plan_bands(
+                    out, int(serve_band), col_band=col_band,
+                    down_band=getattr(backbone, "serve_down_band", None),
+                    down_col_band=getattr(backbone,
+                                          "serve_down_col_band", None)):
                 raise ValueError(
-                    f"host plan exceeds serve_band={serve_band}: raise the "
-                    "middle's serve_band (recompiles the predict step) or "
-                    "set it to None for the slice-gather path")
+                    f"host plan exceeds serve_band={serve_band} (or "
+                    f"serve_col_band={col_band}): raise the middle's "
+                    "buckets (recompiles the predict step) or set them "
+                    "to None for the slice-gather path")
         return out
 
     return fn

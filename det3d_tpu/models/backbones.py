@@ -89,8 +89,10 @@ class SparseConvBN(nn.Module):
     # band (static int): run subm side columns on the banded one-hot
     # matmul kernel (ops/band_conv.py) instead of slice gathers — serving
     # only (the owning middle passes it for plan-fed eval forward; the
-    # band is certified by apis.train.host_plan_fn)
+    # band is certified by apis.train.host_plan_fn). col_band: the
+    # per-BEV-column sub-band bucket (see band_window_conv).
     band: Optional[int] = None
+    col_band: Optional[int] = None
 
     @nn.compact
     def __call__(self, x, idx, mask, valid, train: bool = False,
@@ -112,7 +114,8 @@ class SparseConvBN(nn.Module):
         dt = act_dtype(self.precision)
         y = sp.apply_conv(x.astype(dt), idx, mask, w.astype(dt),
                           z_shift_taps=z_taps, inverse=inverse,
-                          band=None if train else self.band)
+                          band=None if train else self.band,
+                          col_band=None if train else self.col_band)
         if self.use_bias or not self.use_norm:
             y = y + self.param("bias", nn.initializers.zeros,
                                (self.out_channels,), jnp.float32)
@@ -134,19 +137,20 @@ class SparseBasicBlock(nn.Module):
     axis_name: Optional[str] = None
     precision: str = "fp32"
     band: Optional[int] = None          # see SparseConvBN.band
+    col_band: Optional[int] = None
 
     @nn.compact
     def __call__(self, x, idx, mask, valid, train: bool = False):
         zt = sp.center_column_taps(3)
         y = SparseConvBN(self.channels, self.norm_cfg, self.axis_name,
                          use_bias=True, precision=self.precision,
-                         band=self.band)(
+                         band=self.band, col_band=self.col_band)(
                              x, idx, mask, valid, train, z_taps=zt)
         y = SparseConvBN(self.channels, self.norm_cfg, self.axis_name,
                          use_bias=True, relu=False,
                          precision=self.precision,
-                         band=self.band)(y, idx, mask, valid,
-                                         train, z_taps=zt)
+                         band=self.band, col_band=self.col_band)(
+                             y, idx, mask, valid, train, z_taps=zt)
         return nn.relu(x + y)
 
 
@@ -509,8 +513,15 @@ class SpMiddleFHD(nn.Module):
     # serve_band: static band bucket for the banded one-hot matmul subm
     # conv (ops/band_conv.py) on the PLAN-FED eval/serving forward; the
     # host plan certifies every subm stage fits (host_plan_fn raises
-    # otherwise). None = slice-gather path everywhere.
+    # otherwise). None = slice-gather path everywhere. serve_col_band:
+    # the per-BEV-column sub-band bucket (band_window_conv col_band).
     serve_band: Optional[int] = None
+    serve_col_band: Optional[int] = None
+    # serve_down_band / serve_down_col_band: band buckets for the strided
+    # (downsample) convs — their per-column spreads are larger (an output
+    # block's targets span ~stride x as many input ranks)
+    serve_down_band: Optional[int] = None
+    serve_down_col_band: Optional[int] = None
     # serve_precision: activation/weight dtype override for the PLAN-FED
     # eval/serving forward only (train numerics untouched); "bf16" halves
     # gathered bytes and runs the band/dense-tail matmuls at full MXU
@@ -530,12 +541,17 @@ class SpMiddleFHD(nn.Module):
         zt = sp.center_column_taps(3)
         serving = plan is not None and not train
         bnd = self.serve_band if serving else None
+        cbnd = self.serve_col_band if serving else None
+        dbnd = self.serve_down_band if serving else None
+        dcbnd = self.serve_down_col_band if serving else None
         prec = (self.serve_precision if serving and self.serve_precision
                 else self.precision)
 
-        def SCB(ch):
+        def SCB(ch, down=False):
             return SparseConvBN(ch, cfg, ax, use_norm=self.use_norm,
-                                precision=prec, band=bnd)
+                                precision=prec,
+                                band=dbnd if down else bnd,
+                                col_band=dcbnd if down else cbnd)
 
         def DCB(ch, **kw):
             return DenseConvBN(ch, norm_cfg=cfg, axis_name=ax,
@@ -572,7 +588,8 @@ class SpMiddleFHD(nn.Module):
                 (co, didx, dmask, sidx, smask, shape, lk,
                  dinv) = stage(i, co, shape, k, s, p, lk, True)
                 valid = co[:, :, 0] >= 0
-                x = SCB(ch)(x, didx, dmask, valid, train, inverse=dinv)
+                x = SCB(ch, down=True)(x, didx, dmask, valid, train,
+                                       inverse=dinv)
                 for _ in range(n_subm):
                     x = SCB(ch)(x, sidx, smask, valid, train, z_taps=zt)
             elif i == start:
@@ -580,7 +597,8 @@ class SpMiddleFHD(nn.Module):
                 co, didx, dmask, _, _, shape, _, dinv = stage(
                     i, co, shape, k, s, p, lk, False)
                 valid = co[:, :, 0] >= 0
-                x = SCB(ch)(x, didx, dmask, valid, train, inverse=dinv)
+                x = SCB(ch, down=True)(x, didx, dmask, valid, train,
+                                       inverse=dinv)
                 occ = _occupancy(co, shape)
                 xd = sp.to_dense(x, co, shape)
                 for _ in range(n_subm):
@@ -602,7 +620,7 @@ class SpMiddleFHD(nn.Module):
         co4, didx, dmask, _, _, shape4, _, dinv = stage(
             4, co, shape, (3, 1, 1), (2, 1, 1), 0, lk, False)
         valid4 = co4[:, :, 0] >= 0
-        x = SCB(64)(x, didx, dmask, valid4, train, inverse=dinv)
+        x = SCB(64, down=True)(x, didx, dmask, valid4, train, inverse=dinv)
 
         return _bev_reshape(x, co4, shape4)
 
@@ -624,6 +642,9 @@ class SpMiddleResNetFHD(nn.Module):
     precision: str = "fp32"                              # see SpMiddleFHD
     pre_ranked: bool = False                             # see _res0_lookup
     serve_band: Optional[int] = None                     # see SpMiddleFHD
+    serve_col_band: Optional[int] = None                 # see SpMiddleFHD
+    serve_down_band: Optional[int] = None                # see SpMiddleFHD
+    serve_down_col_band: Optional[int] = None            # see SpMiddleFHD
     serve_precision: Optional[str] = None                # see SpMiddleFHD
     name_str: str = "SpMiddleResNetFHD"
 
@@ -638,6 +659,9 @@ class SpMiddleResNetFHD(nn.Module):
         start = max(1, self.dense_from) if self.dense_tail else 4
         serving = plan is not None and not train
         bnd = self.serve_band if serving else None
+        cbnd = self.serve_col_band if serving else None
+        dbnd = self.serve_down_band if serving else None
+        dcbnd = self.serve_down_col_band if serving else None
         pr = (self.serve_precision if serving and self.serve_precision
               else self.precision)
 
@@ -659,12 +683,15 @@ class SpMiddleResNetFHD(nn.Module):
             sidx0, smask0 = sp.subm_window_rulebook_batch(coords, shape0, 3,
                                                           lookup0)
         valid0 = coords[:, :, 0] >= 0
-        x = SparseConvBN(16, cfg, ax, precision=pr, band=bnd)(
+        x = SparseConvBN(16, cfg, ax, precision=pr, band=bnd,
+                         col_band=cbnd)(
             x, sidx0, smask0, valid0, train,
             z_taps=sp.center_column_taps(3))
-        x = SparseBasicBlock(16, cfg, ax, precision=pr, band=bnd)(
+        x = SparseBasicBlock(16, cfg, ax, precision=pr, band=bnd,
+                             col_band=cbnd)(
             x, sidx0, smask0, valid0, train)
-        x = SparseBasicBlock(16, cfg, ax, precision=pr, band=bnd)(
+        x = SparseBasicBlock(16, cfg, ax, precision=pr, band=bnd,
+                             col_band=cbnd)(
             x, sidx0, smask0, valid0, train)
 
         specs = [(32, 3, 2, 1), (64, 3, 2, 1), (128, 3, 2, (0, 1, 1))]
@@ -675,17 +702,21 @@ class SpMiddleResNetFHD(nn.Module):
                 (co, didx, dmask, sidx, smask, shape, lk,
                  dinv) = stage(i, co, shape, k, s, p, lk, True)
                 valid = co[:, :, 0] >= 0
-                x = SparseConvBN(ch, cfg, ax, precision=pr)(
+                x = SparseConvBN(ch, cfg, ax, precision=pr, band=dbnd,
+                                 col_band=dcbnd)(
                     x, didx, dmask, valid, train, inverse=dinv)
-                x = SparseBasicBlock(ch, cfg, ax, precision=pr,
-                                     band=bnd)(x, sidx, smask, valid, train)
-                x = SparseBasicBlock(ch, cfg, ax, precision=pr,
-                                     band=bnd)(x, sidx, smask, valid, train)
+                x = SparseBasicBlock(ch, cfg, ax, precision=pr, band=bnd,
+                                     col_band=cbnd)(x, sidx, smask, valid,
+                                                    train)
+                x = SparseBasicBlock(ch, cfg, ax, precision=pr, band=bnd,
+                                     col_band=cbnd)(x, sidx, smask, valid,
+                                                    train)
             elif i == start:
                 co, didx, dmask, _, _, shape, _, dinv = stage(
                     i, co, shape, k, s, p, lk, False)
                 valid = co[:, :, 0] >= 0
-                x = SparseConvBN(ch, cfg, ax, precision=pr)(
+                x = SparseConvBN(ch, cfg, ax, precision=pr, band=dbnd,
+                                 col_band=dcbnd)(
                     x, didx, dmask, valid, train, inverse=dinv)
                 occ = _occupancy(co, shape)
                 xd = sp.to_dense(x, co, shape)
@@ -714,7 +745,8 @@ class SpMiddleResNetFHD(nn.Module):
         co4, didx, dmask, _, _, shape4, _, dinv = stage(
             4, co, shape, (3, 1, 1), (2, 1, 1), 0, lk, False)
         valid4 = co4[:, :, 0] >= 0
-        x = SparseConvBN(128, cfg, ax, precision=pr)(
+        x = SparseConvBN(128, cfg, ax, precision=pr, band=dbnd,
+                         col_band=dcbnd)(
             x, didx, dmask, valid4, train, inverse=dinv)
 
         return _bev_reshape(x, co4, shape4)

@@ -387,11 +387,38 @@ class MultiGroupHead(nn.Module):
           label_preds: (B, D) int32 (global label ids across tasks)
           valid:       (B, D) bool
         """
+        cands = [self._task_candidates(example, preds, task_id, test_cfg)
+                 for task_id, preds in enumerate(preds_dicts)]
+        n_tasks = len(cands)
+        if n_tasks == 1:
+            sel = [self._nms_select(*cands[0], test_cfg, apply_dir=True)]
+        else:
+            # Tasks are independent NMS problems — fuse them into the NMS
+            # vmap axis (one fixpoint over B*T samples instead of T
+            # sequential fixpoints; iteration count becomes the max chain
+            # depth across tasks instead of the sum). Candidate counts can
+            # differ per task: pad to the max with score -1 (invalid).
+            amax = max(c[0].shape[1] for c in cands)
+
+            def padto(x, fill):
+                if x.shape[1] == amax:
+                    return x
+                cfgs = [(0, 0)] * x.ndim
+                cfgs[1] = (0, amax - x.shape[1])
+                return jnp.pad(x, cfgs, constant_values=fill)
+
+            fused = []
+            for i, fill in enumerate((0.0, -1.0, 0, 0, 0.0)):
+                st = jnp.stack([padto(c[i], fill) for c in cands], axis=1)
+                fused.append(st.reshape((-1,) + st.shape[2:]))  # (B*T, ...)
+            b, s, l, v = self._nms_select(*fused, test_cfg, apply_dir=True)
+            bsz = cands[0][0].shape[0]
+            sel = [tuple(x.reshape((bsz, n_tasks) + x.shape[1:])[:, t]
+                         for x in (b, s, l, v)) for t in range(n_tasks)]
+
         boxes_all, scores_all, labels_all, valid_all = [], [], [], []
         label_offset = 0
-        for task_id, preds in enumerate(preds_dicts):
-            cand = self._task_candidates(example, preds, task_id, test_cfg)
-            b, s, l, v = self._nms_select(*cand, test_cfg, apply_dir=True)
+        for task_id, (b, s, l, v) in enumerate(sel):
             boxes_all.append(b)
             scores_all.append(s)
             labels_all.append(jnp.where(v, l + label_offset, 0))

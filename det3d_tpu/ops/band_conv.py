@@ -51,7 +51,7 @@ _PACK_MASK = (1 << _PACK_SHIFT) - 1
 
 
 def _band_kernel(packed_ref, xs_ref, w_ref, out_ref, buf_ref, *,
-                 R, S, Kc, kz, C):
+                 R, S, Kc, kz, C, offs_ref=None, Sc=None):
     """One (sample, row-block): fetch + route + weight-GEMM.
 
     packed_ref: (1, R, Kc) int32 — block-local loc | presence << 24
@@ -60,16 +60,26 @@ def _band_kernel(packed_ref, xs_ref, w_ref, out_ref, buf_ref, *,
     w_ref:      (Kc*kz*C, Cout)  — side-column weights, (k, j, c) row order
     out_ref:    (1, R, Cout) f32 — side-column contribution
     buf_ref:    (R, Kc*kz*C) f32 scratch — routed taps
+    offs_ref:   (1, 1, Kc) int32 SMEM (col-band mode) — per-column start of
+                the Sc-row sub-band inside the block's S-row slice; loc in
+                ``packed`` is then relative to its column's sub-band
     """
     packed = packed_ref[0]                                   # (R, Kc)
     loc_all = packed & _PACK_MASK
     xs = xs_ref[0, 0]                                        # (S, kz*C)
     dt = xs.dtype
-    iota = jax.lax.broadcasted_iota(jnp.int32, (R, S), 1)
+    Sd = S if offs_ref is None else Sc
+    iota = jax.lax.broadcasted_iota(jnp.int32, (R, Sd), 1)
+    if offs_ref is not None:
+        b, n = pl.program_id(0), pl.program_id(1)
     for k in range(Kc):
+        src = (xs if offs_ref is None
+               else xs_ref[0, 0,
+                           pl.ds(pl.multiple_of(offs_ref[b, n, k], 8), Sc),
+                           :])
         loc = loc_all[:, k][:, None]                         # (R, 1)
-        oh = (iota == loc).astype(dt)                        # (R, S)
-        g = jnp.dot(oh, xs, preferred_element_type=jnp.float32)
+        oh = (iota == loc).astype(dt)                        # (R, Sd)
+        g = jnp.dot(oh, src, preferred_element_type=jnp.float32)
         # presence-popcount ladder (twin of sparse.py::_window_taps)
         pres = [((packed[:, k] >> (_PACK_SHIFT + j)) & 1)
                 for j in range(kz)]
@@ -106,9 +116,12 @@ def _center_contrib(features, pres_cc, w_cc):
 
 
 @functools.partial(jax.jit, static_argnames=("band", "block_rows",
+                                             "col_band", "center_shift",
                                              "interpret"))
 def band_window_conv(features, r0, pres, weights, band: int,
-                     block_rows: int = 256, interpret: bool = False):
+                     block_rows: int = 256, col_band=None,
+                     center_shift: bool = True,
+                     interpret: bool = False):
     """Subm window conv with banded one-hot matmul side-column fetch.
 
     Drop-in for sparse.py::_window_conv_impl(center_shift=True): the center
@@ -119,32 +132,47 @@ def band_window_conv(features, r0, pres, weights, band: int,
     bucket: every present window of every block_rows-row block must have
     r0 - (block's min present r0) < band (certify_plan_bands). Returns
     (B, V, Cout) float32.
+
+    ``col_band`` (static int <= band): per-BEV-column sub-bands. In yxz
+    rank order r0 is MONOTONE in row rank for a fixed column offset, so a
+    block's targets for ONE column span far fewer ranks than the block's
+    union over all 8 (measured CBGS res0: 596 vs 1116). The block still
+    ships one S-row slice, but each column's one-hot matmul runs against
+    its own col_band-row sub-slice (8-row aligned start, from the column's
+    min present target) — fetch FLOPs and one-hot generation scale with
+    col_band instead of band. Exactness: per-column spread + 7 alignment
+    + kz headroom must fit col_band (certify_plan_bands(col_band=...)).
     """
     B, V, C = features.shape
+    O = r0.shape[1]
     K = r0.shape[-1]
     kz = pres.shape[-1]
     cout = weights.shape[-1]
     R = block_rows
     S = int(np.ceil(band / 128) * 128)
     cc = K // 2
-    cols = np.asarray([c for c in range(K) if c != cc], np.int32)
+    # center_shift=False (strided convs: output rows not rank-aligned with
+    # inputs): every BEV column, the center included, rides the kernel
+    cols = np.asarray([c for c in range(K)
+                       if not (center_shift and c == cc)], np.int32)
     Kc = len(cols)
 
     wdt = weights.dtype
     w_cols = weights.reshape(kz, K, C, cout).transpose(1, 0, 2, 3)
-    out = _center_contrib(features, pres[:, :, cc], w_cols[cc])
+    out = (_center_contrib(features, pres[:, :, cc], w_cols[cc])
+           if center_shift else None)
 
     # super-rows xw[v] = [x[v], x[v+1], ..., x[v+kz-1]]; kz-1 zero rows give
     # clamped windows the gather path's CLIP-at-padding behavior
     fpad = jnp.pad(features, ((0, 0), (0, kz - 1), (0, 0)))
     xw = jnp.concatenate([fpad[:, j:j + V] for j in range(kz)], axis=-1)
 
-    nb = -(-V // R)
+    nb = -(-O // R)
     Vp = nb * R
     r0s = r0[:, :, cols]
     press = pres[:, :, cols]
-    r0p = jnp.pad(r0s, ((0, 0), (0, Vp - V), (0, 0)))
-    presp = jnp.pad(press, ((0, 0), (0, Vp - V), (0, 0), (0, 0)))
+    r0p = jnp.pad(r0s, ((0, 0), (0, Vp - O), (0, 0)))
+    presp = jnp.pad(press, ((0, 0), (0, Vp - O), (0, 0), (0, 0)))
     pany = presp.any(-1)                                     # (B, Vp, Kc)
 
     # per-block base: the smallest present target rank in the block
@@ -159,8 +187,21 @@ def band_window_conv(features, r0, pres, weights, band: int,
         lambda s: jax.lax.dynamic_slice(xp, (s, 0), (S, xw.shape[-1])))(
             st))(xpad, lo)                                   # (B, nb, S, kzC)
 
-    loc = r0b - lo[:, :, None]                               # block-local
-    loc = jnp.where(panyb, loc, S).reshape(B, Vp, Kc)        # absent: no hit
+    Sc = offs = None
+    if col_band is not None:
+        Sc = int(np.ceil(col_band / 128) * 128)
+        # per-(block, column) base, 8-row aligned inside the block slice
+        r0k = r0p.reshape(B, nb, R, Kc)
+        pak = pany.reshape(B, nb, R, Kc)
+        lok = jnp.min(jnp.where(pak, r0k, V), axis=2)        # (B, nb, Kc)
+        offs = jnp.clip((lok - lo[:, :, None]) & ~7, 0, S - Sc)
+        offs = offs.astype(jnp.int32)
+        base = lo[:, :, None] + offs                         # (B, nb, Kc)
+        loc = (r0k - base[:, :, None, :]).reshape(B, nb, R * Kc)
+        loc = jnp.where(panyb, loc, Sc).reshape(B, Vp, Kc)
+    else:
+        loc = r0b - lo[:, :, None]                           # block-local
+        loc = jnp.where(panyb, loc, S).reshape(B, Vp, Kc)    # absent: no hit
     pbits = jnp.zeros(presp.shape[:-1], jnp.int32)
     for j in range(kz):
         pbits = pbits | (presp[..., j].astype(jnp.int32) << j)
@@ -168,8 +209,43 @@ def band_window_conv(features, r0, pres, weights, band: int,
 
     w_band = w_cols[cols].reshape(Kc * kz * C, cout)         # (k, j, c) rows
 
+    if offs is not None:
+        # per-column sub-band starts ride as scalar prefetch (SMEM), read
+        # by the kernel at (program_id(0), program_id(1), k)
+        def kern(o_ref, p_ref, x_ref, w_ref, out_ref, buf_ref):
+            _band_kernel(p_ref, x_ref, w_ref, out_ref, buf_ref,
+                         R=R, S=S, Kc=Kc, kz=kz, C=C,
+                         offs_ref=o_ref, Sc=Sc)
+
+        grid_spec = pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=1,
+            grid=(B, nb),
+            in_specs=[
+                pl.BlockSpec((1, R, Kc), lambda b, n, o: (b, n, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((1, 1, S, kz * C), lambda b, n, o: (b, n, 0, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((Kc * kz * C, cout), lambda b, n, o: (0, 0),
+                             memory_space=pltpu.VMEM),
+            ],
+            out_specs=pl.BlockSpec((1, R, cout), lambda b, n, o: (b, n, 0),
+                                   memory_space=pltpu.VMEM),
+            scratch_shapes=[pltpu.VMEM((R, Kc * kz * C), jnp.float32)],
+        )
+        side = pl.pallas_call(
+            kern,
+            grid_spec=grid_spec,
+            out_shape=jax.ShapeDtypeStruct((B, Vp, cout), jnp.float32),
+            interpret=interpret,
+        )(offs, packed, xs.astype(wdt), w_band)
+        return side[:, :O] if out is None else out + side[:, :O]
+
+    def kern(p_ref, x_ref, w_ref, out_ref, buf_ref):
+        _band_kernel(p_ref, x_ref, w_ref, out_ref, buf_ref,
+                     R=R, S=S, Kc=Kc, kz=kz, C=C)
+
     side = pl.pallas_call(
-        functools.partial(_band_kernel, R=R, S=S, Kc=Kc, kz=kz, C=C),
+        kern,
         grid=(B, nb),
         in_specs=[
             pl.BlockSpec((1, R, Kc), lambda b, n: (b, n, 0),
@@ -186,41 +262,67 @@ def band_window_conv(features, r0, pres, weights, band: int,
         interpret=interpret,
     )(packed, xs.astype(wdt), w_band)
 
-    return out + side[:, :V]
+    return side[:, :O] if out is None else out + side[:, :O]
 
 
-def plan_band(packed, block_rows: int = 256):
+def plan_band(packed, block_rows: int = 256, per_col: bool = False):
     """Host/test helper: the band bucket a packed subm rulebook needs —
     max over block_rows-row blocks of (max - min present r0) + kz headroom.
-    Accepts the packed plan array (V, K) or batched (B, V, K) int32."""
+    ``per_col=True``: the per-BEV-column bucket instead (max over
+    (block, column) of the column's own spread, + 7 alignment headroom)
+    for band_window_conv(col_band=...). Accepts the packed plan array
+    (V, K) or batched (B, V, K) int32."""
     p = np.asarray(packed)
     if p.ndim == 2:
         p = p[None]
-    from det3d_tpu import csrc
-    lib = csrc.get_hostplan_lib()
-    if lib is not None:
-        # per sample: the kernel's blocks are aligned within each sample
-        band = 0
-        for s in range(p.shape[0]):
-            pc = np.ascontiguousarray(p[s], np.int32)
-            band = max(band, int(lib.hp_block_band(
-                pc, pc.shape[0], pc.shape[1], block_rows)))
-        return band + 4
+    if not per_col:
+        from det3d_tpu import csrc
+        lib = csrc.get_hostplan_lib()
+        if lib is not None:
+            # per sample: the kernel's blocks are aligned within each sample
+            band = 0
+            for s in range(p.shape[0]):
+                pc = np.ascontiguousarray(p[s], np.int32)
+                band = max(band, int(lib.hp_block_band(
+                    pc, pc.shape[0], pc.shape[1], block_rows)))
+            return band + 4
     B, V, K = p.shape
     nb = -(-V // block_rows)
     p = np.pad(p, ((0, 0), (0, nb * block_rows - V), (0, 0)))
-    r0 = (p & _PACK_MASK).reshape(B, nb, -1).astype(np.int64)
-    pres = ((p >> _PACK_SHIFT) != 0).reshape(B, nb, -1)
-    mx = np.where(pres, r0, -1).max(-1)
-    mn = np.where(pres, r0, 1 << 40).min(-1)
+    r0 = (p & _PACK_MASK).reshape(B, nb, block_rows, K).astype(np.int64)
+    pres = ((p >> _PACK_SHIFT) != 0).reshape(B, nb, block_rows, K)
+    if not per_col:
+        r0, pres = r0.reshape(B, nb, -1), pres.reshape(B, nb, -1)
+        ax = -1
+    else:
+        ax = 2
+    mx = np.where(pres, r0, -1).max(ax)
+    mn = np.where(pres, r0, 1 << 40).min(ax)
     spread = np.where(mx >= 0, mx - mn, 0).max()
-    return int(spread) + 4          # +kz headroom for the super-row window
+    # +kz headroom for the super-row window; per-col adds the 8-row
+    # alignment slack of the sub-band start
+    return int(spread) + (11 if per_col else 4)
 
 
-def certify_plan_bands(plan, serve_band: int, block_rows: int = 256):
+def certify_plan_bands(plan, serve_band: int, block_rows: int = 256,
+                       col_band=None, down_band=None, down_col_band=None):
     """True iff every subm stage of a (host) packed plan fits the
-    ``serve_band`` bucket band_window_conv was compiled with."""
+    ``serve_band`` bucket band_window_conv was compiled with (and, when
+    given, the per-column ``col_band`` bucket; likewise the strided
+    stages against ``down_band``/``down_col_band`` when those are set)."""
     keys = [k for k in plan
             if k.startswith(("plan_s", "plan_subm")) or
             (k in ("s0",) or k.startswith("subm"))]
-    return all(plan_band(plan[k], block_rows) <= serve_band for k in keys)
+    ok = all(plan_band(plan[k], block_rows) <= serve_band for k in keys)
+    if ok and col_band is not None:
+        ok = all(plan_band(plan[k], block_rows, per_col=True) <= col_band
+                 for k in keys)
+    if ok and down_band is not None:
+        dkeys = [k for k in plan
+                 if k.startswith("plan_down") or k.startswith("down")]
+        ok = all(plan_band(plan[k], block_rows) <= down_band
+                 for k in dkeys)
+        if ok and down_col_band is not None:
+            ok = all(plan_band(plan[k], block_rows, per_col=True)
+                     <= down_col_band for k in dkeys)
+    return ok

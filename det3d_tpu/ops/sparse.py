@@ -333,7 +333,7 @@ def conv_rulebook(in_coords, in_shape, out_coords, kernel, stride, padding):
 
 
 def apply_conv(features, idx, mask, weights, z_shift_taps=None,
-               inverse=None, band=None):
+               inverse=None, band=None, col_band=None):
     """Gather-GEMM sparse convolution.
 
     features: (B, V, Cin); idx/mask: (B, O, K); weights: (K, Cin, Cout).
@@ -366,11 +366,14 @@ def apply_conv(features, idx, mask, weights, z_shift_taps=None,
             r0i, presi, par, kspec = inverse
             return apply_conv_window_inv(features, idx, mask, weights,
                                          r0i, presi, par, kspec)
-        if band is not None and z_shift_taps is not None:
+        if band is not None:
             from det3d_tpu.ops.band_conv import band_window_conv
             interp = jax.devices()[0].platform != "tpu"
-            return band_window_conv(features, idx, mask, weights,
-                                    band=int(band), interpret=interp)
+            return band_window_conv(
+                features, idx, mask, weights, band=int(band),
+                col_band=None if col_band is None else int(col_band),
+                center_shift=z_shift_taps is not None,
+                interpret=interp)
         return apply_conv_window(features, idx, mask, weights,
                                  z_shift_taps is not None)
     kvol = weights.shape[0]
