@@ -96,7 +96,7 @@ class SparseConvBN(nn.Module):
 
     @nn.compact
     def __call__(self, x, idx, mask, valid, train: bool = False,
-                 z_taps=None, inverse=None):
+                 z_taps=None, inverse=None, band_prep=None):
         from det3d_tpu.models.precision import act_dtype
 
         # window rulebooks (mask 4-D: idx=r0, mask=per-column tap presence)
@@ -115,7 +115,8 @@ class SparseConvBN(nn.Module):
         y = sp.apply_conv(x.astype(dt), idx, mask, w.astype(dt),
                           z_shift_taps=z_taps, inverse=inverse,
                           band=None if train else self.band,
-                          col_band=None if train else self.col_band)
+                          col_band=None if train else self.col_band,
+                          band_prep=None if train else band_prep)
         if self.use_bias or not self.use_norm:
             y = y + self.param("bias", nn.initializers.zeros,
                                (self.out_channels,), jnp.float32)
@@ -140,17 +141,20 @@ class SparseBasicBlock(nn.Module):
     col_band: Optional[int] = None
 
     @nn.compact
-    def __call__(self, x, idx, mask, valid, train: bool = False):
+    def __call__(self, x, idx, mask, valid, train: bool = False,
+                 band_prep=None):
         zt = sp.center_column_taps(3)
         y = SparseConvBN(self.channels, self.norm_cfg, self.axis_name,
                          use_bias=True, precision=self.precision,
                          band=self.band, col_band=self.col_band)(
-                             x, idx, mask, valid, train, z_taps=zt)
+                             x, idx, mask, valid, train, z_taps=zt,
+                             band_prep=band_prep)
         y = SparseConvBN(self.channels, self.norm_cfg, self.axis_name,
                          use_bias=True, relu=False,
                          precision=self.precision,
                          band=self.band, col_band=self.col_band)(
-                             y, idx, mask, valid, train, z_taps=zt)
+                             y, idx, mask, valid, train, z_taps=zt,
+                             band_prep=band_prep)
         return nn.relu(x + y)
 
 
@@ -438,22 +442,31 @@ class DenseConvBN(nn.Module):
         dt = act_dtype(self.precision)
         # (a per-z-slab conv2d decomposition was tried and measured 2x
         # SLOWER than the straight conv3d at res3 scale — XLA tiles the
-        # shallow-D conv3d fine: 2.17 ms for 64ch at (2,5,200,176))
+        # shallow-D conv3d fine: 2.17 ms for 64ch at (2,5,200,176); the
+        # round-5 re-test at the CBGS stage-2 scale (2,11,256,256,64)
+        # agreed: conv3d 8.3 ms vs zslab 10.2 / zfold 10.9 / NHWDC 11.0 —
+        # probe_dense3d)
         # bf16 mode: conv in bf16 (MXU accumulates fp32 internally), then
         # upcast — preferred_element_type=fp32 here breaks the conv's
-        # transpose rule under grad (fp32 cotangent vs bf16 operand)
+        # transpose rule under grad (fp32 cotangent vs bf16 operand).
+        # Serving (eval BN = running-stats scale/shift): the whole
+        # BN/ReLU/mask epilogue stays in the activation dtype — fp32
+        # round-trips between dense-tail layers tripled the HBM bytes of
+        # every (B, 11, 256, 256, C) tensor for no numerics the bf16
+        # matmuls hadn't already given up.
+        keep = dt if (not train and dt != jnp.float32) else jnp.float32
         y = jax.lax.conv_general_dilated(
             x.astype(dt),
             w.reshape(kz, ky, kx, cin, self.out_channels).astype(dt),
             window_strides=self.stride,
             padding=tuple((p, p) for p in self.padding),
-            dimension_numbers=("NDHWC", "DHWIO", "NDHWC")).astype(
-                jnp.float32)
+            dimension_numbers=("NDHWC", "DHWIO", "NDHWC")).astype(keep)
         if self.use_bias or not self.use_norm:
             y = y + self.param("bias", nn.initializers.zeros,
-                               (self.out_channels,), jnp.float32)
+                               (self.out_channels,), jnp.float32).astype(
+                                   keep)
         if self.use_norm:
-            y = build_norm(self.norm_cfg, self.axis_name)(
+            y = build_norm(self.norm_cfg, self.axis_name, dtype=keep)(
                 y, mask=occ_out, use_running_average=not train)
         if self.relu:
             y = nn.relu(y)
@@ -566,6 +579,18 @@ class SpMiddleFHD(nn.Module):
                                     build_subm=build_subm,
                                     build_inverse=train)
 
+        def bprep(idx, mask, down=False):
+            # hoist band_window_conv's plan-pure prep once per RULEBOOK —
+            # every conv sharing it reuses the triple (band_conv.band_prep)
+            b = dbnd if down else bnd
+            if b is None:
+                return None
+            from det3d_tpu.ops.band_conv import band_prep
+            cb = dcbnd if down else cbnd
+            return band_prep(idx, mask, int(b),
+                             col_band=None if cb is None else int(cb),
+                             center_shift=not down)
+
         if plan is not None:
             x, coords, sidx0, smask0 = _res0_with_plan(
                 voxel_features, coords, shape0, self.pre_ranked, plan)
@@ -576,8 +601,11 @@ class SpMiddleFHD(nn.Module):
             sidx0, smask0 = sp.subm_window_rulebook_batch(coords, shape0, 3,
                                                           lookup0)
         valid0 = coords[:, :, 0] >= 0
-        x = SCB(16)(x, sidx0, smask0, valid0, train, z_taps=zt)
-        x = SCB(16)(x, sidx0, smask0, valid0, train, z_taps=zt)
+        prep0 = bprep(sidx0, smask0)
+        x = SCB(16)(x, sidx0, smask0, valid0, train, z_taps=zt,
+                    band_prep=prep0)
+        x = SCB(16)(x, sidx0, smask0, valid0, train, z_taps=zt,
+                    band_prep=prep0)
 
         # (channels, n_subm, kernel, stride, padding) per downsample stage
         specs = [(32, 2, 3, 2, 1), (64, 3, 3, 2, 1), (64, 3, 3, 2, (0, 1, 1))]
@@ -589,16 +617,22 @@ class SpMiddleFHD(nn.Module):
                  dinv) = stage(i, co, shape, k, s, p, lk, True)
                 valid = co[:, :, 0] >= 0
                 x = SCB(ch, down=True)(x, didx, dmask, valid, train,
-                                       inverse=dinv)
+                                       inverse=dinv,
+                                       band_prep=bprep(didx, dmask,
+                                                       down=True))
+                prep_i = bprep(sidx, smask)
                 for _ in range(n_subm):
-                    x = SCB(ch)(x, sidx, smask, valid, train, z_taps=zt)
+                    x = SCB(ch)(x, sidx, smask, valid, train, z_taps=zt,
+                                band_prep=prep_i)
             elif i == start:
                 # transition: sparse strided conv, then densify this stage
                 co, didx, dmask, _, _, shape, _, dinv = stage(
                     i, co, shape, k, s, p, lk, False)
                 valid = co[:, :, 0] >= 0
                 x = SCB(ch, down=True)(x, didx, dmask, valid, train,
-                                       inverse=dinv)
+                                       inverse=dinv,
+                                       band_prep=bprep(didx, dmask,
+                                                       down=True))
                 occ = _occupancy(co, shape)
                 xd = sp.to_dense(x, co, shape)
                 for _ in range(n_subm):
@@ -620,7 +654,8 @@ class SpMiddleFHD(nn.Module):
         co4, didx, dmask, _, _, shape4, _, dinv = stage(
             4, co, shape, (3, 1, 1), (2, 1, 1), 0, lk, False)
         valid4 = co4[:, :, 0] >= 0
-        x = SCB(64, down=True)(x, didx, dmask, valid4, train, inverse=dinv)
+        x = SCB(64, down=True)(x, didx, dmask, valid4, train, inverse=dinv,
+                               band_prep=bprep(didx, dmask, down=True))
 
         return _bev_reshape(x, co4, shape4)
 
@@ -673,6 +708,18 @@ class SpMiddleResNetFHD(nn.Module):
                                     build_subm=build_subm,
                                     build_inverse=train)
 
+        def bprep(idx, mask, down=False):
+            # see SpMiddleFHD.bprep: one prep per rulebook, shared by the
+            # stage's convs (5 s0 convs / 4 subm-stage convs each)
+            b = dbnd if down else bnd
+            if b is None:
+                return None
+            from det3d_tpu.ops.band_conv import band_prep
+            cb = dcbnd if down else cbnd
+            return band_prep(idx, mask, int(b),
+                             col_band=None if cb is None else int(cb),
+                             center_shift=not down)
+
         if plan is not None:
             x, coords, sidx0, smask0 = _res0_with_plan(
                 voxel_features, coords, shape0, self.pre_ranked, plan)
@@ -683,16 +730,17 @@ class SpMiddleResNetFHD(nn.Module):
             sidx0, smask0 = sp.subm_window_rulebook_batch(coords, shape0, 3,
                                                           lookup0)
         valid0 = coords[:, :, 0] >= 0
+        prep0 = bprep(sidx0, smask0)
         x = SparseConvBN(16, cfg, ax, precision=pr, band=bnd,
                          col_band=cbnd)(
             x, sidx0, smask0, valid0, train,
-            z_taps=sp.center_column_taps(3))
+            z_taps=sp.center_column_taps(3), band_prep=prep0)
         x = SparseBasicBlock(16, cfg, ax, precision=pr, band=bnd,
                              col_band=cbnd)(
-            x, sidx0, smask0, valid0, train)
+            x, sidx0, smask0, valid0, train, band_prep=prep0)
         x = SparseBasicBlock(16, cfg, ax, precision=pr, band=bnd,
                              col_band=cbnd)(
-            x, sidx0, smask0, valid0, train)
+            x, sidx0, smask0, valid0, train, band_prep=prep0)
 
         specs = [(32, 3, 2, 1), (64, 3, 2, 1), (128, 3, 2, (0, 1, 1))]
         co, shape, lk = coords, shape0, lookup0
@@ -704,20 +752,25 @@ class SpMiddleResNetFHD(nn.Module):
                 valid = co[:, :, 0] >= 0
                 x = SparseConvBN(ch, cfg, ax, precision=pr, band=dbnd,
                                  col_band=dcbnd)(
-                    x, didx, dmask, valid, train, inverse=dinv)
+                    x, didx, dmask, valid, train, inverse=dinv,
+                    band_prep=bprep(didx, dmask, down=True))
+                prep_i = bprep(sidx, smask)
                 x = SparseBasicBlock(ch, cfg, ax, precision=pr, band=bnd,
                                      col_band=cbnd)(x, sidx, smask, valid,
-                                                    train)
+                                                    train,
+                                                    band_prep=prep_i)
                 x = SparseBasicBlock(ch, cfg, ax, precision=pr, band=bnd,
                                      col_band=cbnd)(x, sidx, smask, valid,
-                                                    train)
+                                                    train,
+                                                    band_prep=prep_i)
             elif i == start:
                 co, didx, dmask, _, _, shape, _, dinv = stage(
                     i, co, shape, k, s, p, lk, False)
                 valid = co[:, :, 0] >= 0
                 x = SparseConvBN(ch, cfg, ax, precision=pr, band=dbnd,
                                  col_band=dcbnd)(
-                    x, didx, dmask, valid, train, inverse=dinv)
+                    x, didx, dmask, valid, train, inverse=dinv,
+                    band_prep=bprep(didx, dmask, down=True))
                 occ = _occupancy(co, shape)
                 xd = sp.to_dense(x, co, shape)
                 xd = DenseBasicBlock(ch, cfg, ax, precision=pr)(xd, occ,
@@ -747,7 +800,8 @@ class SpMiddleResNetFHD(nn.Module):
         valid4 = co4[:, :, 0] >= 0
         x = SparseConvBN(128, cfg, ax, precision=pr, band=dbnd,
                          col_band=dcbnd)(
-            x, didx, dmask, valid4, train, inverse=dinv)
+            x, didx, dmask, valid4, train, inverse=dinv,
+            band_prep=bprep(didx, dmask, down=True))
 
         return _bev_reshape(x, co4, shape4)
 

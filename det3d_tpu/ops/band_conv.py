@@ -50,33 +50,65 @@ _PACK_SHIFT = 24
 _PACK_MASK = (1 << _PACK_SHIFT) - 1
 
 
-def _band_kernel(packed_ref, xs_ref, w_ref, out_ref, buf_ref, *,
-                 R, S, Kc, kz, C, offs_ref=None, Sc=None):
-    """One (sample, row-block): fetch + route + weight-GEMM.
+def _band_kernel(lo_ref, packed_ref, x_any, w_ref, out_ref, xband_ref,
+                 buf_ref, sems, *, R, S, Kc, kz, C, NB, nsteps,
+                 offs_ref=None, Sc=None):
+    """One (sample, row-block) on a FLAT grid step bn = b * NB + n:
+    band DMA (double-buffered across grid steps) + fetch + route +
+    weight-GEMM.
 
+    lo_ref:     (B, NB) int32 SMEM — per-block band start row in x
     packed_ref: (1, R, Kc) int32 — block-local loc | presence << 24
                 (side columns only; absent windows carry loc == S)
-    xs_ref:     (1, 1, S, kz*C)  — the block's band slice of super-rows
+    x_any:      (B, V + kz - 1 + S + 8, kz*C) in HBM (memory_space=ANY) —
+                padded super-rows; the kernel DMAs its own (S, kz*C) band
+                per block. (The previous formulation shipped the band as a
+                pipelined VMEM input, which required the caller to
+                materialize every block's slice with XLA dynamic-slices:
+                470 slice+copy ops PER CONV at CBGS scale — the op soup
+                was ~2x the kernel's own time; see DESIGN_NOTES §11.)
     w_ref:      (Kc*kz*C, Cout)  — side-column weights, (k, j, c) row order
     out_ref:    (1, R, Cout) f32 — side-column contribution
+    xband_ref:  (2, S, kz*C) VMEM scratch — double-buffered band slots
     buf_ref:    (R, Kc*kz*C) f32 scratch — routed taps
-    offs_ref:   (1, 1, Kc) int32 SMEM (col-band mode) — per-column start of
-                the Sc-row sub-band inside the block's S-row slice; loc in
-                ``packed`` is then relative to its column's sub-band
+    sems:       (2,) DMA semaphores, one per slot
+    offs_ref:   (B, NB, Kc) int32 SMEM (col-band mode) — per-column start
+                of the Sc-row sub-band inside the block's S-row slice; loc
+                in ``packed`` is then relative to its column's sub-band
     """
+    bn = pl.program_id(0)
+    b, n = bn // NB, bn % NB
+
+    def dma(i, slot):
+        # band_prep aligns lo down to 8; multiple_of carries the proof
+        # Mosaic needs for the sublane-tiled HBM slice
+        return pltpu.make_async_copy(
+            x_any.at[i // NB,
+                     pl.ds(pl.multiple_of(lo_ref[i // NB, i % NB], 8), S),
+                     :],
+            xband_ref.at[slot], sems.at[slot])
+
+    @pl.when(bn == 0)
+    def _():
+        dma(0, 0).start()
+
+    @pl.when(bn + 1 < nsteps)
+    def _():
+        dma(bn + 1, (bn + 1) % 2).start()
+
+    dma(bn, bn % 2).wait()
+    slot = bn % 2
+
     packed = packed_ref[0]                                   # (R, Kc)
     loc_all = packed & _PACK_MASK
-    xs = xs_ref[0, 0]                                        # (S, kz*C)
-    dt = xs.dtype
+    dt = x_any.dtype
     Sd = S if offs_ref is None else Sc
     iota = jax.lax.broadcasted_iota(jnp.int32, (R, Sd), 1)
-    if offs_ref is not None:
-        b, n = pl.program_id(0), pl.program_id(1)
     for k in range(Kc):
-        src = (xs if offs_ref is None
-               else xs_ref[0, 0,
-                           pl.ds(pl.multiple_of(offs_ref[b, n, k], 8), Sc),
-                           :])
+        src = (xband_ref[slot] if offs_ref is None
+               else xband_ref[slot,
+                              pl.ds(pl.multiple_of(offs_ref[b, n, k], 8),
+                                    Sc), :])
         loc = loc_all[:, k][:, None]                         # (R, 1)
         oh = (iota == loc).astype(dt)                        # (R, Sd)
         g = jnp.dot(oh, src, preferred_element_type=jnp.float32)
@@ -116,12 +148,75 @@ def _center_contrib(features, pres_cc, w_cc):
 
 
 @functools.partial(jax.jit, static_argnames=("band", "block_rows",
+                                             "col_band", "center_shift"))
+def band_prep(r0, pres, band: int, block_rows: int = 256, col_band=None,
+              center_shift: bool = True):
+    """The plan-pure half of band_window_conv: block-local one-hot
+    locations (packed with presence bits), per-(block, column) sub-band
+    starts, and per-block band bases — a function of the RULEBOOK only,
+    shared by every conv on it. Measured 0.92 ms per evaluation at CBGS
+    res0 (probe_tail_attrib); hoisting it once per rulebook saves ~7
+    redundant evaluations per CBGS forward (5 s0 convs + 4 subm1 convs
+    share two rulebooks).
+
+    Returns (packed (B, Vp, Kc) int32, offs (B, nb, Kc) int32 | None,
+    lo (B, nb) int32) for band_window_conv(prep=...). The ``band``,
+    ``block_rows``, ``col_band`` and ``center_shift`` values must match
+    the conv call's."""
+    B, V, K = r0.shape
+    kz = pres.shape[-1]
+    R = block_rows
+    S = int(np.ceil(band / 128) * 128)
+    cc = K // 2
+    cols = np.asarray([c for c in range(K)
+                       if not (center_shift and c == cc)], np.int32)
+    Kc = len(cols)
+    O = r0.shape[1]
+    nb = -(-O // R)
+    Vp = nb * R
+    r0s = r0[:, :, cols]
+    press = pres[:, :, cols]
+    r0p = jnp.pad(r0s, ((0, 0), (0, Vp - O), (0, 0)))
+    presp = jnp.pad(press, ((0, 0), (0, Vp - O), (0, 0), (0, 0)))
+    pany = presp.any(-1)                                     # (B, Vp, Kc)
+
+    # per-block base: the smallest present target rank in the block
+    r0b = r0p.reshape(B, nb, R * Kc)
+    panyb = pany.reshape(B, nb, R * Kc)
+    lo = jnp.min(jnp.where(panyb, r0b, V), axis=-1)          # (B, nb)
+    # 8-row aligned: the in-kernel HBM->VMEM band DMA requires a sublane-
+    # tile-aligned start (Mosaic); loc grows by <= 7 (plan_band headroom)
+    lo = (jnp.minimum(lo, V + kz - 1) & ~7).astype(jnp.int32)
+
+    offs = None
+    if col_band is not None:
+        Sc = int(np.ceil(col_band / 128) * 128)
+        # per-(block, column) base, 8-row aligned inside the block slice
+        r0k = r0p.reshape(B, nb, R, Kc)
+        pak = pany.reshape(B, nb, R, Kc)
+        lok = jnp.min(jnp.where(pak, r0k, V), axis=2)        # (B, nb, Kc)
+        offs = jnp.clip((lok - lo[:, :, None]) & ~7, 0, S - Sc)
+        offs = offs.astype(jnp.int32)
+        base = lo[:, :, None] + offs                         # (B, nb, Kc)
+        loc = (r0k - base[:, :, None, :]).reshape(B, nb, R * Kc)
+        loc = jnp.where(panyb, loc, Sc).reshape(B, Vp, Kc)
+    else:
+        loc = r0b - lo[:, :, None]                           # block-local
+        loc = jnp.where(panyb, loc, S).reshape(B, Vp, Kc)    # absent: no hit
+    pbits = jnp.zeros(presp.shape[:-1], jnp.int32)
+    for j in range(kz):
+        pbits = pbits | (presp[..., j].astype(jnp.int32) << j)
+    packed = (loc & _PACK_MASK) | (pbits << _PACK_SHIFT)
+    return packed, offs, lo
+
+
+@functools.partial(jax.jit, static_argnames=("band", "block_rows",
                                              "col_band", "center_shift",
                                              "interpret"))
 def band_window_conv(features, r0, pres, weights, band: int,
                      block_rows: int = 256, col_band=None,
                      center_shift: bool = True,
-                     interpret: bool = False):
+                     interpret: bool = False, prep=None):
     """Subm window conv with banded one-hot matmul side-column fetch.
 
     Drop-in for sparse.py::_window_conv_impl(center_shift=True): the center
@@ -142,6 +237,10 @@ def band_window_conv(features, r0, pres, weights, band: int,
     min present target) — fetch FLOPs and one-hot generation scale with
     col_band instead of band. Exactness: per-column spread + 7 alignment
     + kz headroom must fit col_band (certify_plan_bands(col_band=...)).
+
+    ``prep``: the (packed, offs, lo) triple from band_prep(r0, pres, ...)
+    with identical band/block_rows/col_band/center_shift — callers with
+    several convs on one rulebook hoist it; None recomputes inline.
     """
     B, V, C = features.shape
     O = r0.shape[1]
@@ -169,98 +268,90 @@ def band_window_conv(features, r0, pres, weights, band: int,
 
     nb = -(-O // R)
     Vp = nb * R
-    r0s = r0[:, :, cols]
-    press = pres[:, :, cols]
-    r0p = jnp.pad(r0s, ((0, 0), (0, Vp - O), (0, 0)))
-    presp = jnp.pad(press, ((0, 0), (0, Vp - O), (0, 0), (0, 0)))
-    pany = presp.any(-1)                                     # (B, Vp, Kc)
+    if prep is None:
+        prep = band_prep(r0, pres, band, block_rows=block_rows,
+                         col_band=col_band, center_shift=center_shift)
+    packed, offs, lo = prep
+    Sc = (None if col_band is None
+          else int(np.ceil(col_band / 128) * 128))
 
-    # per-block base: the smallest present target rank in the block
-    r0b = r0p.reshape(B, nb, R * Kc)
-    panyb = pany.reshape(B, nb, R * Kc)
-    lo = jnp.min(jnp.where(panyb, r0b, V), axis=-1)          # (B, nb)
-    # xs slice source: xw padded with S trailing zero rows so any start in
-    # [0, V + kz - 1] yields an in-bounds (S,) slice without clamping
-    xpad = jnp.pad(xw, ((0, 0), (0, S), (0, 0)))
-    lo = jnp.minimum(lo, V + kz - 1).astype(jnp.int32)
-    xs = jax.vmap(lambda xp, st: jax.vmap(
-        lambda s: jax.lax.dynamic_slice(xp, (s, 0), (S, xw.shape[-1])))(
-            st))(xpad, lo)                                   # (B, nb, S, kzC)
-
-    Sc = offs = None
-    if col_band is not None:
-        Sc = int(np.ceil(col_band / 128) * 128)
-        # per-(block, column) base, 8-row aligned inside the block slice
-        r0k = r0p.reshape(B, nb, R, Kc)
-        pak = pany.reshape(B, nb, R, Kc)
-        lok = jnp.min(jnp.where(pak, r0k, V), axis=2)        # (B, nb, Kc)
-        offs = jnp.clip((lok - lo[:, :, None]) & ~7, 0, S - Sc)
-        offs = offs.astype(jnp.int32)
-        base = lo[:, :, None] + offs                         # (B, nb, Kc)
-        loc = (r0k - base[:, :, None, :]).reshape(B, nb, R * Kc)
-        loc = jnp.where(panyb, loc, Sc).reshape(B, Vp, Kc)
-    else:
-        loc = r0b - lo[:, :, None]                           # block-local
-        loc = jnp.where(panyb, loc, S).reshape(B, Vp, Kc)    # absent: no hit
-    pbits = jnp.zeros(presp.shape[:-1], jnp.int32)
-    for j in range(kz):
-        pbits = pbits | (presp[..., j].astype(jnp.int32) << j)
-    packed = (loc & _PACK_MASK) | (pbits << _PACK_SHIFT)
+    # DMA source: xw padded with S + 8 trailing zero rows so any band start
+    # in [0, V + kz - 1] yields an in-bounds in-kernel (S,)-row DMA. The
+    # lane (minor) dim pads to a 128 multiple — Mosaic requires DMA slices
+    # lane-aligned, and the fetch dot's N dim was idling those lanes
+    # anyway (same MXU cycles at N=48 and N=128; only DMA bytes grow).
+    Cp = int(np.ceil(kz * C / 128) * 128)
+    xpad = jnp.pad(xw, ((0, 0), (0, S + 8), (0, Cp - kz * C))).astype(wdt)
 
     w_band = w_cols[cols].reshape(Kc * kz * C, cout)         # (k, j, c) rows
 
+    nsteps = B * nb
+    scratch = [pltpu.VMEM((2, S, Cp), wdt),
+               pltpu.VMEM((R, Kc * kz * C), jnp.float32),
+               pltpu.SemaphoreType.DMA((2,))]
+
     if offs is not None:
-        # per-column sub-band starts ride as scalar prefetch (SMEM), read
-        # by the kernel at (program_id(0), program_id(1), k)
-        def kern(o_ref, p_ref, x_ref, w_ref, out_ref, buf_ref):
-            _band_kernel(p_ref, x_ref, w_ref, out_ref, buf_ref,
-                         R=R, S=S, Kc=Kc, kz=kz, C=C,
-                         offs_ref=o_ref, Sc=Sc)
+        # per-block band starts + per-column sub-band starts ride as
+        # scalar prefetch (SMEM); the band itself is DMA'd in-kernel from
+        # the ANY-space xpad (see _band_kernel)
+        def kern(lo_ref, o_ref, p_ref, x_ref, w_ref, out_ref, xband_ref,
+                 buf_ref, sems):
+            _band_kernel(lo_ref, p_ref, x_ref, w_ref, out_ref, xband_ref,
+                         buf_ref, sems, R=R, S=S, Kc=Kc, kz=kz, C=C,
+                         NB=nb, nsteps=nsteps, offs_ref=o_ref, Sc=Sc)
 
         grid_spec = pltpu.PrefetchScalarGridSpec(
-            num_scalar_prefetch=1,
-            grid=(B, nb),
+            num_scalar_prefetch=2,
+            grid=(nsteps,),
             in_specs=[
-                pl.BlockSpec((1, R, Kc), lambda b, n, o: (b, n, 0),
+                pl.BlockSpec((1, R, Kc),
+                             lambda bn, lo, o: (bn // nb, bn % nb, 0),
                              memory_space=pltpu.VMEM),
-                pl.BlockSpec((1, 1, S, kz * C), lambda b, n, o: (b, n, 0, 0),
-                             memory_space=pltpu.VMEM),
-                pl.BlockSpec((Kc * kz * C, cout), lambda b, n, o: (0, 0),
+                pl.BlockSpec(memory_space=pl.ANY),
+                pl.BlockSpec((Kc * kz * C, cout), lambda bn, lo, o: (0, 0),
                              memory_space=pltpu.VMEM),
             ],
-            out_specs=pl.BlockSpec((1, R, cout), lambda b, n, o: (b, n, 0),
+            out_specs=pl.BlockSpec((1, R, cout),
+                                   lambda bn, lo, o: (bn // nb, bn % nb, 0),
                                    memory_space=pltpu.VMEM),
-            scratch_shapes=[pltpu.VMEM((R, Kc * kz * C), jnp.float32)],
+            scratch_shapes=scratch,
         )
         side = pl.pallas_call(
             kern,
             grid_spec=grid_spec,
             out_shape=jax.ShapeDtypeStruct((B, Vp, cout), jnp.float32),
             interpret=interpret,
-        )(offs, packed, xs.astype(wdt), w_band)
+        )(lo, offs, packed, xpad, w_band)
         return side[:, :O] if out is None else out + side[:, :O]
 
-    def kern(p_ref, x_ref, w_ref, out_ref, buf_ref):
-        _band_kernel(p_ref, x_ref, w_ref, out_ref, buf_ref,
-                     R=R, S=S, Kc=Kc, kz=kz, C=C)
+    def kern(lo_ref, p_ref, x_ref, w_ref, out_ref, xband_ref, buf_ref,
+             sems):
+        _band_kernel(lo_ref, p_ref, x_ref, w_ref, out_ref, xband_ref,
+                     buf_ref, sems, R=R, S=S, Kc=Kc, kz=kz, C=C,
+                     NB=nb, nsteps=nsteps)
 
-    side = pl.pallas_call(
-        kern,
-        grid=(B, nb),
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(nsteps,),
         in_specs=[
-            pl.BlockSpec((1, R, Kc), lambda b, n: (b, n, 0),
+            pl.BlockSpec((1, R, Kc),
+                         lambda bn, lo: (bn // nb, bn % nb, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 1, S, kz * C), lambda b, n: (b, n, 0, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((Kc * kz * C, cout), lambda b, n: (0, 0),
+            pl.BlockSpec(memory_space=pl.ANY),
+            pl.BlockSpec((Kc * kz * C, cout), lambda bn, lo: (0, 0),
                          memory_space=pltpu.VMEM),
         ],
-        out_specs=pl.BlockSpec((1, R, cout), lambda b, n: (b, n, 0),
+        out_specs=pl.BlockSpec((1, R, cout),
+                               lambda bn, lo: (bn // nb, bn % nb, 0),
                                memory_space=pltpu.VMEM),
+        scratch_shapes=scratch,
+    )
+    side = pl.pallas_call(
+        kern,
+        grid_spec=grid_spec,
         out_shape=jax.ShapeDtypeStruct((B, Vp, cout), jnp.float32),
-        scratch_shapes=[pltpu.VMEM((R, Kc * kz * C), jnp.float32)],
         interpret=interpret,
-    )(packed, xs.astype(wdt), w_band)
+    )(lo, packed, xpad, w_band)
 
     return side[:, :O] if out is None else out + side[:, :O]
 
@@ -285,7 +376,7 @@ def plan_band(packed, block_rows: int = 256, per_col: bool = False):
                 pc = np.ascontiguousarray(p[s], np.int32)
                 band = max(band, int(lib.hp_block_band(
                     pc, pc.shape[0], pc.shape[1], block_rows)))
-            return band + 4
+            return band + 12
     B, V, K = p.shape
     nb = -(-V // block_rows)
     p = np.pad(p, ((0, 0), (0, nb * block_rows - V), (0, 0)))
@@ -299,9 +390,10 @@ def plan_band(packed, block_rows: int = 256, per_col: bool = False):
     mx = np.where(pres, r0, -1).max(ax)
     mn = np.where(pres, r0, 1 << 40).min(ax)
     spread = np.where(mx >= 0, mx - mn, 0).max()
-    # +kz headroom for the super-row window; per-col adds the 8-row
-    # alignment slack of the sub-band start
-    return int(spread) + (11 if per_col else 4)
+    # +kz headroom for the super-row window, + the 8-row alignment slack
+    # of the block base (band_prep aligns lo down for the in-kernel DMA);
+    # per-col additionally absorbs the sub-band start's own 8-alignment
+    return int(spread) + (11 if per_col else 12)
 
 
 def certify_plan_bands(plan, serve_band: int, block_rows: int = 256,

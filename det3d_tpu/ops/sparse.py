@@ -333,7 +333,7 @@ def conv_rulebook(in_coords, in_shape, out_coords, kernel, stride, padding):
 
 
 def apply_conv(features, idx, mask, weights, z_shift_taps=None,
-               inverse=None, band=None, col_band=None):
+               inverse=None, band=None, col_band=None, band_prep=None):
     """Gather-GEMM sparse convolution.
 
     features: (B, V, Cin); idx/mask: (B, O, K); weights: (K, Cin, Cout).
@@ -373,7 +373,7 @@ def apply_conv(features, idx, mask, weights, z_shift_taps=None,
                 features, idx, mask, weights, band=int(band),
                 col_band=None if col_band is None else int(col_band),
                 center_shift=z_shift_taps is not None,
-                interpret=interp)
+                interpret=interp, prep=band_prep)
         return apply_conv_window(features, idx, mask, weights,
                                  z_shift_taps is not None)
     kvol = weights.shape[0]

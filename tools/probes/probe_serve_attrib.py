@@ -58,7 +58,7 @@ def main():
             axis=-1)
     data = {"points": jnp.asarray(pts),
             "num_points": jnp.asarray(b["num_points"])}
-    plan_fn = host_plan_fn(model, voxel_gen, train=False)
+    plan_fn = host_plan_fn(model, voxel_gen, train=False, voxelize=True)
     if plan_fn is not None:                    # dense models have no plan
         plan = plan_fn(pts, np.asarray(b["num_points"]))
         data.update({k: jnp.asarray(v) for k, v in plan.items()})
