@@ -48,7 +48,11 @@ model = dict(
     backbone=dict(type="SpMiddleFHD", num_input_features=4, ds_factor=8,
                   norm_cfg=norm_cfg, serve_band=768,
                   # per-column sub-bands: measured per-col spread <= 508
-                  serve_col_band=640, serve_precision="bf16"),
+                  serve_col_band=640,
+                  # strided convs on the band kernel too (r5); measured
+                  # down buckets <= 1054/682 over seeds (+margin)
+                  serve_down_band=1280, serve_down_col_band=768,
+                  serve_precision="bf16"),
     neck=dict(type="RPN", layer_nums=[5], ds_layer_strides=[1],
               ds_num_filters=[128], us_layer_strides=[1],
               us_num_filters=[128], num_input_features=128,

@@ -45,7 +45,12 @@ model = dict(
                   ds_factor=8, norm_cfg=norm_cfg, dense_from=2,
                   serve_band=1536,
                   # per-column sub-bands: measured per-col spread <= 596
-                  serve_col_band=768, serve_precision="bf16"),
+                  serve_col_band=768,
+                  # strided convs on the band kernel too (r5: the two
+                  # gather-path down convs were 38 of 132 ms/call in the
+                  # device trace); measured buckets 1240/774 (+margin)
+                  serve_down_band=1536, serve_down_col_band=896,
+                  serve_precision="bf16"),
     neck=dict(type="RPN", layer_nums=[5, 5], ds_layer_strides=[1, 2],
               ds_num_filters=[128, 256], us_layer_strides=[1, 2],
               us_num_filters=[256, 256], num_input_features=256,

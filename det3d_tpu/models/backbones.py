@@ -634,7 +634,11 @@ class SpMiddleFHD(nn.Module):
                                        band_prep=bprep(didx, dmask,
                                                        down=True))
                 occ = _occupancy(co, shape)
-                xd = sp.to_dense(x, co, shape)
+                # serving bf16: densify in the activation dtype (halves
+                # the (B, D, H, W, C) canvas scatter+memset bytes)
+                from det3d_tpu.models.precision import act_dtype
+                tdt = act_dtype(prec) if not train else jnp.float32
+                xd = sp.to_dense(x.astype(tdt), co, shape)
                 for _ in range(n_subm):
                     xd = DCB(ch)(xd, occ, train)
             else:
@@ -772,7 +776,9 @@ class SpMiddleResNetFHD(nn.Module):
                     x, didx, dmask, valid, train, inverse=dinv,
                     band_prep=bprep(didx, dmask, down=True))
                 occ = _occupancy(co, shape)
-                xd = sp.to_dense(x, co, shape)
+                from det3d_tpu.models.precision import act_dtype
+                tdt = act_dtype(pr) if not train else jnp.float32
+                xd = sp.to_dense(x.astype(tdt), co, shape)
                 xd = DenseBasicBlock(ch, cfg, ax, precision=pr)(xd, occ,
                                                                 train)
                 xd = DenseBasicBlock(ch, cfg, ax, precision=pr)(xd, occ,

@@ -433,17 +433,24 @@ def to_dense(features, coords, shape):
 
     features: (B, V, C); coords: (B, V, 3) zyx. Returns (B, D, H, W, C).
     Parity: spconv SparseConvTensor.dense() (NCDHW there, NDHWC here).
+
+    Lowering: per-sample lax.map scatters with unique_indices (voxel
+    slots are unique by construction) — the batched vmap scatter lowered
+    to a 21 ms/call fusion at CBGS stage-2 scale (B=2, 60k rows onto a
+    (11, 256, 256) grid, round-5 device trace), the same superlinear
+    batched-scatter degradation PointPillarsScatter hit (backbones.py).
     """
     d, h, w = shape
     c = features.shape[-1]
     lin = jax.vmap(lambda co: linearize(co, shape))(coords)
     lin = jnp.where(lin == _SENTINEL, d * h * w, lin)       # OOB -> dropped
 
-    def scatter_one(feat, l):
+    def scatter_one(args):
+        feat, l = args
         return jnp.zeros((d * h * w, c), feat.dtype).at[l].set(
-            feat, mode="drop")
+            feat, mode="drop", unique_indices=True)
 
-    dense = jax.vmap(scatter_one)(features, lin)
+    dense = jax.lax.map(scatter_one, (features, lin))
     return dense.reshape(-1, d, h, w, c)
 
 
